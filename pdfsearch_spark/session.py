@@ -1,0 +1,44 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Local-mode testing stands in for a multi-executor cluster; every setting here
+is chosen to also be the right default at 1000 executors:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- Arrow on for all pandas UDF boundaries (input_hint: no per-row Python)
+- shuffle partitions sized to cores locally; on a real cluster this is set to
+  2-3x total executor cores via spark-submit conf
+- maxPartitionBytes kept at 128m so a 100 TB scan yields ~800k well-sized tasks
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pdfsearch_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = cpus if cpus != "*" else os.cpu_count() or 8
+        shuffle_partitions = int(n)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
