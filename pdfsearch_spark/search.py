@@ -1,0 +1,279 @@
+"""Query-side engine: FTS5-grammar search over the sharded index.
+
+Spark lifecycle (SURVEY.md §3.B): parse/plan on the driver → shard-pruned,
+term-pruned parquet scan of ``postings`` (predicate pushdown on the sorted
+``term`` column) → per-shard applyInPandas match+score (shuffle-free: all of
+a doc's postings are in its shard) → global ``orderBy(score, doc_id).limit(k)``
+(TakeOrderedAndProject over ≤ shards×k pre-reduced rows) → broadcast join to
+``documents`` for display fields → snippet UDF over ≤ k rows.
+
+Two physical strategies, picked per query shape:
+
+- FAST path (all phrases are plain single terms — the common case): global
+  dfs come from ``term_stats`` before the scan, so each shard scores locally
+  and emits only its top-k. Network cost: shards×k tiny rows.
+- GENERAL path (phrase / prefix / NEAR / anchor): per-phrase global df is
+  only known after matching, so shards emit matched rows (doc_id, dl,
+  visible-tf vector) plus one df-sentinel row; dfs reduce to idfs, and
+  scoring runs as a whole-stage-codegen Spark expression over the matched
+  rows — no second pass over postings.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .analyzer import tokenize, unicode61_tokens
+from .query.parser import Node, Phrase, QuerySyntaxError, parse_query
+from .query.scorer import K1, B, bm25_scores, idf_of, score_shard
+
+RESULT_SCHEMA = (
+    "doc_id long, part int, title string, text string, base_name string, score double"
+)
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        st = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        self.n_docs = st["n_docs"]
+        self.avgdl = st["avgdl"]
+        self.n_shards = st["n_shards"]
+        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        self._documents = spark.read.parquet(os.path.join(index_dir, "documents"))
+        self._doc_text = spark.read.parquet(os.path.join(index_dir, "doc_text"))
+
+    # ---- planning -----------------------------------------------------
+
+    def _plan(self, query: str):
+        tree, phrases = parse_query(query, tokenize, unicode61_tokens)
+        expansions: dict[int, list[str]] = {}
+        for p in phrases:
+            if p.prefix:
+                pref = p.terms[-1]
+                terms = [
+                    r["term"]
+                    for r in self._term_stats.filter(
+                        F.col("term").startswith(pref)
+                    ).select("term").collect()
+                ]
+                expansions[p.index] = terms
+        return tree, phrases, expansions
+
+    def _needed_terms(self, phrases: list[Phrase], expansions) -> list[str]:
+        out: set[str] = set()
+        for p in phrases:
+            if p.col == "unindexed":
+                continue
+            if p.prefix:
+                out.update(p.terms[:-1])
+                out.update(expansions.get(p.index, []))
+            else:
+                out.update(p.terms)
+        return sorted(out)
+
+    # ---- execution ----------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        k: int = 200,
+        book_ids: list[int] | None = None,
+        with_snippets: bool = True,
+    ) -> DataFrame:
+        """Reference /search semantics (database/database.go:179-204):
+        raw grammar string; k = LIMIT (reference: 200); ``book_ids`` = the
+        intended Q6 doc-subset filter. Raises QuerySyntaxError (→ HTTP 400 in
+        the reference). Empty query → empty result (routes/routes.go:108-110).
+        """
+        spark = self.spark
+        if not query or not query.strip():
+            return spark.createDataFrame([], schema=RESULT_SCHEMA)
+
+        tree, phrases, expansions = self._plan(query)
+        terms = self._needed_terms(phrases, expansions)
+        if not terms:
+            return spark.createDataFrame([], schema=RESULT_SCHEMA)
+
+        postings = self._postings.filter(F.col("term").isin(terms))
+
+        fast = all(
+            len(p.terms) == 1 and not p.prefix and not p.anchored and p.col != "unindexed"
+            for p in phrases
+        ) and tree_has_no_near(tree)
+
+        if fast:
+            scored = self._run_fast(postings, tree, phrases, k, book_ids)
+        else:
+            scored = self._run_general(postings, tree, phrases, expansions, k, book_ids)
+
+        topk = scored.orderBy(F.col("score").asc(), F.col("doc_id").asc()).limit(k)
+
+        docs = self._documents.select("doc_id", "base_name")
+        out = topk.join(F.broadcast(docs), "doc_id", "left")
+
+        if with_snippets:
+            out = self._add_snippets(out, phrases, expansions)
+        else:
+            out = out.withColumn("title", F.lit("")).withColumn("text", F.lit(""))
+        return out.select(
+            "doc_id",
+            F.lit(0).alias("part"),
+            "title",
+            "text",
+            "base_name",
+            "score",
+        ).orderBy(F.col("score").asc(), F.col("doc_id").asc())
+
+    def _run_fast(self, postings, tree, phrases, k, book_ids):
+        """dfs known a priori → shard-local scoring + per-shard top-k."""
+        term_list = sorted({p.terms[0] for p in phrases})
+        df_rows = {
+            r["term"]: r["df"]
+            for r in self._term_stats.filter(F.col("term").isin(term_list)).collect()
+        }
+        idfs = np.array(
+            [idf_of(int(df_rows.get(p.terms[0], 0)), self.n_docs) for p in phrases]
+        )
+        n_docs, avgdl = self.n_docs, self.avgdl
+        books = np.array(sorted(book_ids), dtype=np.int64) if book_ids else None
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            res = score_shard(pdf, tree, phrases, {}, n_docs, avgdl, None, k)
+            if res is None:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+            matched, mdl, mvis, _ = res
+            if books is not None:
+                sel = np.isin(matched, books)
+                matched, mdl, mvis = matched[sel], mdl[sel], mvis[sel]
+                if len(matched) == 0:
+                    return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+            scores = bm25_scores(mvis, mdl, idfs, avgdl)
+            if len(scores) > k:
+                part = np.argpartition(scores, k)[:k]
+                matched, scores = matched[part], scores[part]
+            return pd.DataFrame({"doc_id": matched, "score": scores})
+
+        return postings.groupBy("shard").applyInPandas(fn, schema="doc_id long, score double")
+
+    def _run_general(self, postings, tree, phrases, expansions, k, book_ids):
+        """Match pass emits rows + df sentinels; scoring is a codegen'd
+        Spark expression after the tiny df reduce."""
+        P = len(phrases)
+        n_docs, avgdl = self.n_docs, self.avgdl
+        books = np.array(sorted(book_ids), dtype=np.int64) if book_ids else None
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "dl": pd.Series(dtype="int64"),
+                    "vis": pd.Series(dtype="object"),
+                    "dfs": pd.Series(dtype="object"),
+                    "is_stats": pd.Series(dtype="bool"),
+                }
+            )
+            res = score_shard(pdf, tree, phrases, expansions, n_docs, avgdl, None, k)
+            if res is None:
+                return empty
+            matched, mdl, mvis, local_dfs = res
+            if books is not None:
+                sel = np.isin(matched, books)
+                matched, mdl, mvis = matched[sel], mdl[sel], mvis[sel]
+            rows = pd.DataFrame(
+                {
+                    "doc_id": matched,
+                    "dl": mdl,
+                    "vis": list(mvis),
+                    "dfs": [None] * len(matched),
+                    "is_stats": False,
+                }
+            )
+            stats = pd.DataFrame(
+                {
+                    "doc_id": [0],
+                    "dl": [0],
+                    "vis": [None],
+                    "dfs": [[int(local_dfs.get(i, 0)) for i in range(P)]],
+                    "is_stats": True,
+                }
+            )
+            return pd.concat([rows, stats], ignore_index=True)
+
+        out = postings.groupBy("shard").applyInPandas(
+            fn,
+            schema="doc_id long, dl long, vis array<long>, dfs array<long>, is_stats boolean",
+        )
+        out = out.persist()
+        try:
+            df_rows = (
+                out.filter(F.col("is_stats"))
+                .select(F.posexplode("dfs").alias("pos", "df"))
+                .groupBy("pos")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            dfs_total = {r["pos"]: int(r["df"]) for r in df_rows}
+            idfs = [idf_of(dfs_total.get(i, 0), self.n_docs) for i in range(P)]
+
+            idf_arr = "array({})".format(",".join(f"{v!r}D" for v in idfs))
+            score_expr = (
+                f"-aggregate(zip_with(vis, {idf_arr}, (t, f) -> "
+                f"CASE WHEN t > 0 THEN f * t * {K1 + 1.0}D / "
+                f"(t + {K1}D * ({1.0 - B}D + {B}D * dl / {self.avgdl}D)) "
+                f"ELSE 0D END), 0D, (a, x) -> a + x)"
+            )
+            scored = (
+                out.filter(~F.col("is_stats"))
+                .withColumn("score", F.expr(score_expr))
+                .select("doc_id", "score")
+            )
+            # materialize top-k before unpersisting the match pass
+            result = scored.orderBy(F.col("score").asc(), F.col("doc_id").asc()).limit(k)
+            rows = result.collect()
+        finally:
+            out.unpersist()
+        return self.spark.createDataFrame(rows, schema="doc_id long, score double") if rows else self.spark.createDataFrame([], schema="doc_id long, score double")
+
+    # ---- snippets ------------------------------------------------------
+
+    def _add_snippets(self, topk: DataFrame, phrases, expansions) -> DataFrame:
+        from .query.snippet import snippet_series
+
+        # phrase → per-slot allowed-term sets (prefix slot = its expansion)
+        phrase_slots: list[list[frozenset]] = []
+        anchored: list[bool] = []
+        for p in phrases:
+            if p.col == "unindexed":
+                continue
+            slots = [frozenset([t]) for t in p.terms]
+            if p.prefix:
+                slots[-1] = frozenset(expansions.get(p.index, []))
+            phrase_slots.append(slots)
+            anchored.append(p.anchored)
+
+        texts = self._doc_text.select("doc_id", "text")
+        joined = topk.join(texts, "doc_id", "left")
+
+        def fn(it):
+            for pdf in it:
+                t = pdf["text"].fillna("")
+                pdf = pdf.copy()
+                pdf["title"] = snippet_series(t, phrase_slots, anchored, 16)
+                pdf["text"] = snippet_series(t, phrase_slots, anchored, 60)
+                yield pdf
+
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields)
+        return joined.mapInPandas(fn, schema=schema)
+
+
+def tree_has_no_near(node: Node) -> bool:
+    if node.op == "NEAR":
+        return False
+    return all(tree_has_no_near(c) for c in node.children)
