@@ -1,12 +1,26 @@
-"""FTS5 ``snippet()`` re-implementation (reference calls it twice per result
-row: N=16 → title, N=60 → text, /root/reference/database/database.go:180-181).
+"""FTS5 ``snippet()`` re-implementation, byte-identical to the oracle.
 
-Algorithm (SQLite fts5_aux.c behavior, golden-tested against the oracle):
-pick the ≤N-token window over the column maximizing a coverage score where
-the first instance of each distinct phrase counts heavily and repeats count
-lightly; render the window from the ORIGINAL text (offsets preserved),
-wrapping each phrase instance in open/close markers; ellipsis at trimmed
-edges. Runs over ≤ top-k rows only, inside a pandas UDF.
+The reference calls snippet() twice per result row: N=16 -> title, N=60 ->
+text (/root/reference/database/database.go:180-181). The algorithm below is
+the documented SQLite fts5_aux.c snippet behavior (public SQLite source),
+re-derived and golden-tested against the in-process FTS5 oracle:
+
+1. Candidate windows: for every phrase-instance position ``io``, score the
+   n-token window [io, io+n): the first in-window instance of each distinct
+   phrase scores 1000, repeats 1. The window is then re-centered on its
+   matches: start = iFirst - (n - (iLast-iFirst))/2, clamped to the document.
+2. Sentence-boundary candidates: windows starting at a "sentence start" (token
+   0, or a token whose preceding non-{space,tab,nl,cr} char is '.' or ':')
+   get +100 (+120 at doc start) and are NOT re-centered.
+3. Highest score wins (strictly-greater comparisons keep the earliest).
+4. Rendering copies the ORIGINAL bytes from the start offset of the first
+   window token; overlapping phrase instances are merged and wrapped in
+   open/close marks; '...' is prepended when the window doesn't start at
+   token 0 and appended unless the window reaches the last token, in which
+   case the raw tail of the document (trailing separators included) is
+   emitted instead.
+
+Runs over <= top-k rows only, inside a pandas UDF.
 """
 
 from __future__ import annotations
@@ -64,34 +78,60 @@ def find_phrase_instances(
     return out
 
 
-def best_window(
-    n_tokens: int, instances: list[list[tuple[int, int]]], n: int
+def _sentence_starts(text: str, toks: list[tuple[str, int, int]]) -> list[int]:
+    """fts5SentenceFinderCb: token 0, plus tokens whose preceding
+    non-{space,tab,newline,cr} char (with at least one such separator
+    skipped) is '.' or ':'."""
+    out: list[int] = []
+    for pos, (_t, c0, _c1) in enumerate(toks):
+        if pos == 0:
+            out.append(0)
+            continue
+        i = c0 - 1
+        c = ""
+        while i >= 0:
+            c = text[i]
+            if c not in (" ", "\t", "\n", "\r"):
+                break
+            i -= 1
+        if i != c0 - 1 and c in (".", ":"):
+            out.append(pos)
+    return out
+
+
+def _trunc_div2(d: int) -> int:
+    """C integer division by 2 (truncates toward zero)."""
+    return d // 2 if d >= 0 else -((-d) // 2)
+
+
+def _score_window(
+    instances: list[tuple[int, int, int]],
+    i_pos: int,
+    n: int,
+    n_docsize: int,
+    adjust: bool,
 ) -> tuple[int, int]:
-    """Choose snippet window [start, start+n). Score: first instance of each
-    phrase = 1000, repeats = 1; earliest best window wins."""
-    if n_tokens <= n:
-        return 0, n_tokens
-    events = []  # (tok, phrase_idx, is_first)
-    for pi, inst in enumerate(instances):
-        for order, (s, _e) in enumerate(inst):
-            events.append((s, pi, order == 0))
-    if not events:
-        return 0, min(n, n_tokens)
-    events.sort()
-    best_score = -1
-    best_start = 0
-    # candidate starts: each instance start (clamped)
-    starts = sorted({min(max(0, s), n_tokens - n) for s, _, _ in events})
-    for st in starts:
-        en = st + n
-        score = 0
-        for s, pi, first in events:
-            if st <= s < en:
-                score += 1000 if first else 1
-        if score > best_score:
-            best_score = score
-            best_start = st
-    return best_start, min(best_start + n, n_tokens)
+    """fts5SnippetScore: instances = sorted (io, phrase_idx, end_excl)."""
+    i_end = i_pos + n
+    seen: set[int] = set()
+    score = 0
+    i_first = -1
+    i_last = 0
+    for io, ip, ie in instances:
+        if i_pos <= io < i_end:
+            score += 1 if ip in seen else 1000
+            seen.add(ip)
+            if i_first < 0:
+                i_first = io
+            i_last = ie
+    if not adjust:
+        return score, i_pos
+    i_adj = i_first - _trunc_div2(n - (i_last - i_first))
+    if i_adj + n > n_docsize:
+        i_adj = n_docsize - n
+    if i_adj < 0:
+        i_adj = 0
+    return score, i_adj
 
 
 def make_snippet(
@@ -104,37 +144,94 @@ def make_snippet(
     ellips: str = "...",
 ) -> str:
     toks = tokenize_offsets(text)
+    n_docsize = len(toks)
     terms = [t[0] for t in toks]
-    instances = find_phrase_instances(terms, phrase_slots, anchored)
-    st, en = best_window(len(toks), instances, n)
-    if en <= st:
-        return ""
-    # char range of the window (trim leading/trailing separators)
-    c0 = toks[st][1]
-    c1 = toks[en - 1][2]
-    # highlight phrase instances inside window
-    marks: list[tuple[int, int]] = []  # char (open_at, close_at)
-    for inst in instances:
-        for s, e in inst:
-            if s >= st and e <= en:
-                marks.append((toks[s][1], toks[e - 1][2]))
-    marks.sort()
-    pieces: list[str] = []
-    if st > 0:
-        pieces.append(ellips)
-    cur = c0
-    for o, c in marks:
-        if o < cur:
+    per_phrase = find_phrase_instances(terms, phrase_slots, anchored)
+    # xInst order: by position, phrase index as tiebreak
+    instances = sorted(
+        (s, pi, e) for pi, inst in enumerate(per_phrase) for (s, e) in inst
+    )
+    a_first = _sentence_starts(text, toks)
+
+    best_score = 0
+    best_start = 0
+    for io, _ip, _ie in instances:
+        score, i_adj = _score_window(instances, io, n, n_docsize, adjust=True)
+        if score > best_score:
+            best_score, best_start = score, i_adj
+        if a_first and n_docsize > n:
+            # last sentence start <= io (C loop over aFirst)
+            jj = 0
+            while jj < len(a_first) - 1 and a_first[jj + 1] <= io:
+                jj += 1
+            if a_first[jj] < io:
+                s2, _ = _score_window(instances, a_first[jj], n, n_docsize, adjust=False)
+                s2 += 120 if a_first[jj] == 0 else 100
+                if s2 > best_score:
+                    best_score, best_start = s2, a_first[jj]
+
+    return _render(text, toks, instances, best_start, n, open_m, close_m, ellips)
+
+
+def _render(
+    text: str,
+    toks: list[tuple[str, int, int]],
+    instances: list[tuple[int, int, int]],
+    i_range_start: int,
+    n: int,
+    open_m: str,
+    close_m: str,
+    ellips: str,
+) -> str:
+    n_docsize = len(toks)
+    i_range_end = i_range_start + n - 1
+
+    # CInstIter: merge instances overlapping in token space (inclusive ends)
+    merged: list[list[int]] = []
+    for io, _ip, ie in instances:
+        e_incl = ie - 1
+        if merged and io <= merged[-1][1]:
+            if e_incl > merged[-1][1]:
+                merged[-1][1] = e_incl
+        else:
+            merged.append([io, e_incl])
+
+    out: list[str] = []
+    if i_range_start > 0:
+        out.append(ellips)
+    i_off = 0
+    it = 0
+    for i_pos, (_t, c0, c1) in enumerate(toks):
+        if i_pos < i_range_start or i_pos > i_range_end:
             continue
-        pieces.append(text[cur:o])
-        pieces.append(open_m)
-        pieces.append(text[o:c])
-        pieces.append(close_m)
-        cur = c
-    pieces.append(text[cur:c1])
-    if en < len(toks):
-        pieces.append(ellips)
-    return "".join(pieces)
+        if i_range_start and i_pos == i_range_start:
+            i_off = c0
+        # advance iterator past instances that ended before the range
+        while it < len(merged) and merged[it][1] < i_range_start:
+            it += 1
+        cur = merged[it] if it < len(merged) else (-1, -2)
+        if i_pos == cur[0]:
+            out.append(text[i_off:c0])
+            out.append(open_m)
+            i_off = c0
+        if i_pos == cur[1]:
+            if cur[0] < i_range_start:
+                out.append(open_m)
+            out.append(text[i_off:c1])
+            out.append(close_m)
+            i_off = c1
+            it += 1
+            cur = merged[it] if it < len(merged) else (-1, -2)
+        if i_pos == i_range_end:
+            out.append(text[i_off:c1])
+            i_off = c1
+            if cur[0] <= i_pos < cur[1]:
+                out.append(close_m)
+    if i_range_end >= n_docsize - 1:
+        out.append(text[i_off:])
+    else:
+        out.append(ellips)
+    return "".join(out)
 
 
 def snippet_series(

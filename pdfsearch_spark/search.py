@@ -261,15 +261,20 @@ class SearchEngine:
         texts = self._doc_text.select("doc_id", "text")
         joined = topk.join(texts, "doc_id", "left")
 
+        names = [f.name for f in joined.schema.fields] + ["title"]
+
         def fn(it):
             for pdf in it:
                 t = pdf["text"].fillna("")
                 pdf = pdf.copy()
                 pdf["title"] = snippet_series(t, phrase_slots, anchored, 16)
                 pdf["text"] = snippet_series(t, phrase_slots, anchored, 60)
-                yield pdf
+                yield pdf[names]
 
-        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields)
+        schema = (
+            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields)
+            + ", title string"
+        )
         return joined.mapInPandas(fn, schema=schema)
 
 
