@@ -32,11 +32,14 @@ def unzigzag(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a uint64 array."""
+def _varint_stream(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 encode → (uint8 buffer, per-value byte offsets
+    [len+1]). One call encodes any number of logical streams concatenated;
+    callers slice blobs/blocks out of the offset array — this is what keeps
+    posting encode at a handful of numpy ops per TERM instead of per block."""
     v = values.astype(np.uint64, copy=True)
     if len(v) == 0:
-        return b""
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), min 1
     nbits = np.zeros(len(v), dtype=np.int64)
     tmp = v.copy()
@@ -57,7 +60,13 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+    return out, offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    buf, _ = _varint_stream(np.asarray(values))
+    return buf.tobytes()
 
 
 def varint_decode(buf: bytes | memoryview, count: int | None = None, offset: int = 0) -> np.ndarray:
@@ -100,68 +109,196 @@ def encode_postings(
     """
     n = len(doc_ids)
     order = np.argsort(doc_ids, kind="stable")
-    doc_ids = doc_ids[order]
+    doc_ids = doc_ids[order].astype(np.int64)
     tfs = tfs[order].astype(np.int64)
     dls = dls[order].astype(np.int64)
     positions = [positions[i] for i in order]
 
+    starts = np.arange(0, n, BLOCK, dtype=np.int64)
+
     # doc id stream: zigzag first-in-block, plain gaps within block — each
-    # block independently decodable for WAND skipping.
-    doc_chunks: list[bytes] = []
-    tf_chunks: list[bytes] = []
-    pos_chunks: list[bytes] = []
-    first_docs: list[int] = []
-    doc_offs: list[int] = [0]
-    tf_offs: list[int] = [0]
-    pos_offs: list[int] = [0]
-    max_impacts: list[float] = []
-    block_lens: list[int] = []
+    # block independently decodable for WAND skipping. Built whole-list:
+    u = doc_ids.view(np.uint64)
+    gaps = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        gaps[1:] = u[1:] - u[:-1]
+    firsts = u[starts]
+    gaps[starts] = (firsts << np.uint64(1)) ^ (doc_ids[starts] >> np.int64(63)).view(np.uint64)
+
+    # position stream: per doc [count, p0, gaps...], built with array ops
+    plens = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
+    flat = (
+        np.concatenate(positions).astype(np.int64)
+        if plens.sum()
+        else np.zeros(0, dtype=np.int64)
+    )
+    fstarts = np.zeros(n, dtype=np.int64)
+    np.cumsum(plens[:-1], out=fstarts[1:])
+    d = np.empty(len(flat), dtype=np.int64)
+    if len(flat):
+        d[1:] = flat[1:] - flat[:-1]
+        nz = plens > 0
+        d[fstarts[nz]] = flat[fstarts[nz]]
+    total = int(plens.sum()) + n
+    stream = np.empty(total, dtype=np.uint64)
+    cidx = fstarts + np.arange(n, dtype=np.int64)  # count slots
+    stream[cidx] = plens.astype(np.uint64)
+    mask = np.ones(total, dtype=bool)
+    mask[cidx] = False
+    stream[mask] = d.view(np.uint64)
+
+    # ONE varint pass over [doc gaps | tfs | pos stream | dls]
+    cat = np.concatenate([gaps, tfs.view(np.uint64), stream, dls.view(np.uint64)])
+    buf, offs = _varint_stream(cat)
+    b_doc, b_tf, b_pos, b_dl = 0, n, 2 * n, 2 * n + total
+    doc_blob = buf[offs[b_doc] : offs[b_tf]].tobytes()
+    tf_blob = buf[offs[b_tf] : offs[b_pos]].tobytes()
+    pos_blob = buf[offs[b_pos] : offs[b_dl]].tobytes()
+    dl_blob = buf[offs[b_dl] :].tobytes()
 
     impact = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * (dls / max(avgdl, 1e-9))))
-
-    for s in range(0, n, BLOCK):
-        e = min(s + BLOCK, n)
-        ids = doc_ids[s:e].astype(np.int64)
-        gaps = np.empty(e - s, dtype=np.uint64)
-        gaps[0] = zigzag(int(ids[0])) & 0xFFFFFFFFFFFFFFFF
-        if e - s > 1:
-            gaps[1:] = np.diff(ids.astype(np.uint64))
-        doc_chunks.append(varint_encode(gaps))
-        tf_chunks.append(varint_encode(tfs[s:e].astype(np.uint64)))
-        # positions: concat per-doc [n, p0, gap...]
-        plist = []
-        for i in range(s, e):
-            p = positions[i]
-            pl = np.empty(len(p) + 1, dtype=np.uint64)
-            pl[0] = len(p)
-            if len(p):
-                pl[1] = p[0]
-                if len(p) > 1:
-                    pl[2:] = np.diff(p.astype(np.uint64))
-            plist.append(pl)
-        pos_chunks.append(varint_encode(np.concatenate(plist) if plist else np.zeros(0, dtype=np.uint64)))
-        first_docs.append(int(ids[0]))
-        doc_offs.append(doc_offs[-1] + len(doc_chunks[-1]))
-        tf_offs.append(tf_offs[-1] + len(tf_chunks[-1]))
-        pos_offs.append(pos_offs[-1] + len(pos_chunks[-1]))
-        max_impacts.append(float(impact[s:e].max()))
-        block_lens.append(e - s)
+    max_impacts = np.maximum.reduceat(impact, starts) if n else np.zeros(0)
+    block_lens = np.diff(np.append(starts, n))
 
     return {
         "df": n,
         "cf": int(tfs.sum()),
         # per-doc lengths travel with the posting so scoring never joins a
         # doc-stats table at query time (self-contained shard reads)
-        "dl_blob": varint_encode(dls.astype(np.uint64)),
-        "doc_blob": b"".join(doc_chunks),
-        "tf_blob": b"".join(tf_chunks),
-        "pos_blob": b"".join(pos_chunks),
-        "first_docs": first_docs,
-        "doc_offs": doc_offs[:-1],
-        "tf_offs": tf_offs[:-1],
-        "pos_offs": pos_offs[:-1],
-        "block_lens": block_lens,
-        "max_impacts": max_impacts,
+        "dl_blob": dl_blob,
+        "doc_blob": doc_blob,
+        "tf_blob": tf_blob,
+        "pos_blob": pos_blob,
+        "first_docs": doc_ids[starts].tolist(),
+        "doc_offs": (offs[b_doc + starts] - offs[b_doc]).tolist(),
+        "tf_offs": (offs[b_tf + starts] - offs[b_tf]).tolist(),
+        "pos_offs": (offs[b_pos + cidx[starts]] - offs[b_pos]).tolist(),
+        "block_lens": block_lens.tolist(),
+        "max_impacts": [float(x) for x in max_impacts],
+    }
+
+
+def encode_shard_frame(
+    terms: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: list,
+    avgdl: float,
+) -> dict:
+    """Encode ALL posting lists of one shard in one vectorized pass.
+
+    Inputs must be sorted by (term, doc_id). Format per term is identical to
+    encode_postings (golden-tested round-trip); the difference is purely
+    mechanical: one _varint_stream call and ~50 numpy ops for the whole
+    shard instead of per-term pandas slicing — ~10x fewer Python dispatches
+    in the build's hottest stage. Returns dict of column lists.
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return {k: [] for k in (
+            "term", "df", "cf", "dl_blob", "doc_blob", "tf_blob", "pos_blob",
+            "first_docs", "doc_offs", "tf_offs", "pos_offs", "block_lens",
+            "max_impacts",
+        )}
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+
+    # term boundaries (terms sorted): ts = starts per term, len T+1
+    uniq, ts0 = np.unique(terms, return_index=True)
+    order_t = np.argsort(ts0)
+    uniq, ts0 = uniq[order_t], ts0[order_t]
+    ts = np.append(ts0, n)
+    T = len(uniq)
+    df = np.diff(ts)
+
+    # global block starts: per term, every BLOCK postings
+    nblocks = (df + BLOCK - 1) // BLOCK
+    tb = np.repeat(np.arange(T), nblocks)  # owning term per block
+    excl = np.zeros(T, dtype=np.int64)
+    np.cumsum(nblocks[:-1], out=excl[1:])
+    w = np.arange(nblocks.sum(), dtype=np.int64) - excl[tb]
+    bs = ts[:-1][tb] + w * BLOCK  # global block start index
+    be = np.minimum(bs + BLOCK, ts[1:][tb])
+
+    # doc-id stream: zigzag first-in-block, plain gaps within block
+    u = doc_ids.view(np.uint64)
+    gaps = np.empty(n, dtype=np.uint64)
+    if n > 1:
+        gaps[1:] = u[1:] - u[:-1]
+    gaps[bs] = (u[bs] << np.uint64(1)) ^ (doc_ids[bs] >> np.int64(63)).view(np.uint64)
+
+    # position stream: per posting [count, p0, gaps...]
+    plens = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
+    total_p = int(plens.sum())
+    flat = (
+        np.concatenate(positions).astype(np.int64)
+        if total_p
+        else np.zeros(0, dtype=np.int64)
+    )
+    fstarts = np.zeros(n, dtype=np.int64)
+    np.cumsum(plens[:-1], out=fstarts[1:])
+    d = np.empty(total_p, dtype=np.int64)
+    if total_p:
+        d[1:] = flat[1:] - flat[:-1]
+        nz = plens > 0
+        d[fstarts[nz]] = flat[fstarts[nz]]
+    total = total_p + n
+    stream = np.empty(total, dtype=np.uint64)
+    cidx = fstarts + np.arange(n, dtype=np.int64)
+    stream[cidx] = plens.astype(np.uint64)
+    mask = np.ones(total, dtype=bool)
+    mask[cidx] = False
+    stream[mask] = d.view(np.uint64)
+
+    # ONE varint pass over [doc gaps | tfs | pos stream | dls] for the shard
+    cat = np.concatenate([gaps, tfs.view(np.uint64), stream, dls.view(np.uint64)])
+    buf, offs = _varint_stream(cat)
+    b_tf, b_pos, b_dl = n, 2 * n, 2 * n + total
+
+    impact = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * (dls / max(avgdl, 1e-9))))
+    max_imp = np.maximum.reduceat(impact, bs)
+    first_docs = doc_ids[bs]
+    block_lens = (be - bs).astype(np.int64)
+
+    # byte offsets, relative to each term's stream start
+    doc_off_b = offs[bs] - offs[ts[:-1]][tb]
+    tf_off_b = offs[b_tf + bs] - offs[b_tf + ts[:-1]][tb]
+    pos_term_start = cidx[ts[:-1]]  # value idx of term's pos-stream start
+    pos_off_b = offs[b_pos + cidx[bs]] - offs[b_pos + pos_term_start][tb]
+
+    # split block-grained arrays by term
+    cuts = np.cumsum(nblocks)[:-1]
+    first_docs_l = np.split(first_docs, cuts)
+    doc_offs_l = np.split(doc_off_b, cuts)
+    tf_offs_l = np.split(tf_off_b, cuts)
+    pos_offs_l = np.split(pos_off_b, cuts)
+    block_lens_l = np.split(block_lens, cuts)
+    max_imp_l = np.split(max_imp.astype(np.float32), cuts)
+
+    # blob slicing per term (byte boundaries from the same offset array)
+    doc_b = offs[ts]
+    tf_b = offs[b_tf + ts]
+    pos_b = offs[b_pos + np.append(cidx[ts[:-1]], total)]
+    dl_b = offs[b_dl + ts]
+    mv = memoryview(buf.tobytes())
+    cf = np.add.reduceat(tfs, ts[:-1])
+
+    return {
+        "term": uniq.tolist(),
+        "df": df.tolist(),
+        "cf": cf.tolist(),
+        "dl_blob": [bytes(mv[dl_b[t] : dl_b[t + 1]]) for t in range(T)],
+        "doc_blob": [bytes(mv[doc_b[t] : doc_b[t + 1]]) for t in range(T)],
+        "tf_blob": [bytes(mv[tf_b[t] : tf_b[t + 1]]) for t in range(T)],
+        "pos_blob": [bytes(mv[pos_b[t] : pos_b[t + 1]]) for t in range(T)],
+        "first_docs": [a.tolist() for a in first_docs_l],
+        "doc_offs": [a.tolist() for a in doc_offs_l],
+        "tf_offs": [a.tolist() for a in tf_offs_l],
+        "pos_offs": [a.tolist() for a in pos_offs_l],
+        "block_lens": [a.tolist() for a in block_lens_l],
+        "max_impacts": [a.tolist() for a in max_imp_l],
     }
 
 

@@ -198,38 +198,23 @@ def encode_shard_postings(avgdl: float):
     """applyInPandas body: one shard's (doc,term) rows → encoded posting rows."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        from .codec import encode_postings
+        from .codec import encode_shard_frame
 
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in POSTING_SCHEMA.fields])
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
-        out_rows = []
-        for term, g in pdf.groupby("term", sort=False):
-            enc = encode_postings(
-                g["doc_id"].to_numpy(np.int64),
-                g["tf"].to_numpy(np.int64),
-                g["dl"].to_numpy(np.int64),
-                [np.asarray(p, dtype=np.int64) for p in g["positions"]],
-                avgdl,
-            )
-            out_rows.append(
-                {
-                    "shard": shard,
-                    "term": term,
-                    "df": enc["df"],
-                    "cf": enc["cf"],
-                    "dl_blob": enc["dl_blob"],
-                    "doc_blob": enc["doc_blob"],
-                    "tf_blob": enc["tf_blob"],
-                    "pos_blob": enc["pos_blob"],
-                    "first_docs": enc["first_docs"],
-                    "doc_offs": enc["doc_offs"],
-                    "tf_offs": enc["tf_offs"],
-                    "pos_offs": enc["pos_offs"],
-                    "block_lens": enc["block_lens"],
-                    "max_impacts": enc["max_impacts"],
-                }
-            )
-        return pd.DataFrame(out_rows, columns=[f.name for f in POSTING_SCHEMA.fields])
+        cols = encode_shard_frame(
+            pdf["term"].to_numpy(),
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["dl"].to_numpy(np.int64),
+            pdf["positions"].tolist(),
+            avgdl,
+        )
+        out = pd.DataFrame(cols)
+        out.insert(0, "shard", shard)
+        return out[[f.name for f in POSTING_SCHEMA.fields]]
 
     return fn
 
@@ -247,7 +232,13 @@ def build_index(
     to the given shards (documents/stats stages are idempotent overwrites).
     """
     t0 = time.time()
-    docs = extract_documents(pages, n_shards).dropDuplicates(["doc_id"])
+    # The dedup shuffle is tiny in bytes, so AQE coalesces it to a handful of
+    # partitions — and that post-shuffle partitioning would be inherited by
+    # the persisted cache, serializing every CPU-heavy pandas-UDF consumer
+    # below (observed 4-5 tasks on 32 cores). Re-spread explicitly: bytes are
+    # the wrong currency for Python-bound stages.
+    n_spread = max(n_shards, spark.sparkContext.defaultParallelism * 2)
+    docs = extract_documents(pages, n_shards).dropDuplicates(["doc_id"]).repartition(n_spread)
     # One extraction pass feeds documents, doc_text, stats AND the term-row
     # shuffle below; persist to avoid re-extracting per consumer.
     docs.persist()
@@ -258,9 +249,12 @@ def build_index(
     doc_text = docs.select("shard", "doc_id", "part", "text")
     if only_shards is not None:
         doc_text = doc_text.filter(F.col("shard").isin(only_shards))
-    doc_text.write.partitionBy("shard").mode("overwrite").parquet(
-        os.path.join(out_dir, "doc_text")
-    )
+    # Cluster rows by shard before the partitioned write: from P upstream
+    # partitions x S shards, an unclustered write emits P*S tiny files (and
+    # P*S committer round-trips); clustered, it's ~one file per shard.
+    doc_text.repartition(n_shards, F.col("shard")).write.partitionBy("shard").mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "doc_text"))
 
     # Corpus stats: N counts every row (FTS5 includes zero-token docs in N
     # and avgdl).
@@ -291,12 +285,22 @@ def build_index(
         rows = rows_all.filter(F.col("shard").isin(only_shards))
 
     # THE wide shuffle: (doc,term) rows → shard groups → encoded postings.
+    # AQE's partition coalescing would merge these small-but-CPU-heavy Python
+    # groups into a handful of tasks (observed 32 shards → 5 tasks), starving
+    # the most expensive stage of parallelism; the byte-size heuristic is
+    # wrong for CPU-bound pandas UDFs, so pin it off for just this write.
     postings = rows.groupBy("shard").applyInPandas(
         encode_shard_postings(avgdl), schema=POSTING_SCHEMA
     )
-    postings.write.partitionBy("shard").mode("overwrite").parquet(
-        os.path.join(out_dir, "postings")
-    )
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        postings.write.partitionBy("shard").mode("overwrite").parquet(
+            os.path.join(out_dir, "postings")
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
 
     n_postings = rows.count()
     rows_all.unpersist()
