@@ -422,16 +422,26 @@ sh0 AS (
 sh AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
 """
 
+    from pdfsearch_spark.pipeline.dedup import MINHASH_P, minhash_params
+
+    mh_a, mh_b = minhash_params()
+    arr_a = "[" + ",".join(str(v) for v in mh_a) + "]::BIGINT[]"
+    arr_b = "[" + ",".join(str(v) for v in mh_b) + "]::BIGINT[]"
     minhash_cte = f"""
 WITH aug AS ({DOCS_AUG_SQL}),
 {shingle_cte},
+hashed AS (
+  SELECT doc_id, cast('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS h
+  FROM sh
+),
 mh AS (
   SELECT doc_id, t.i AS i,
-         min(substr(md5(t.i::VARCHAR || ':' || shingle), 1, 16)) AS m
-  FROM sh, range(16) t(i) GROUP BY 1, 2
+         min((({arr_a})[t.i + 1] * h + ({arr_b})[t.i + 1]) % {MINHASH_P}) AS m
+  FROM hashed, range(16) t(i) GROUP BY 1, 2
 ),
 bands AS (
-  SELECT doc_id, (i // 4)::INT AS band, string_agg(m, '' ORDER BY i) AS sig
+  SELECT doc_id, (i // 4)::INT AS band,
+         string_agg(m::VARCHAR, '_' ORDER BY i) AS sig
   FROM mh GROUP BY 1, 2
 )
 """

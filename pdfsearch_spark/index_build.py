@@ -269,20 +269,9 @@ def build_index(
         stats_row["total_tokens"] or 0,
     )
 
-    rows_all = term_rows(docs)
-    rows_all.persist()
-
-    # Global df/cf per term (for idf at query time) — always over the FULL
-    # corpus, even on resume (stats are global by definition). Partial
-    # (map-side) aggregation makes head-term skew a non-issue here.
-    term_stats = rows_all.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
-    )
-    term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
-
-    rows = rows_all
+    rows = term_rows(docs)
     if only_shards is not None:
-        rows = rows_all.filter(F.col("shard").isin(only_shards))
+        rows = rows.filter(F.col("shard").isin(only_shards))
 
     # THE wide shuffle: (doc,term) rows → shard groups → encoded postings.
     # AQE's partition coalescing would merge these small-but-CPU-heavy Python
@@ -302,8 +291,22 @@ def build_index(
     finally:
         spark.conf.set(coalesce_key, prev)
 
-    n_postings = rows.count()
-    rows_all.unpersist()
+    # Global df/cf per term (for idf at query time) from the postings table
+    # itself — a column-pruned scan of (term, df, cf), never touching the
+    # blob columns. This keeps term_rows single-consumer (streams through
+    # the one wide shuffle, nothing cached), and on resume it is global by
+    # construction: the postings dir holds every completed shard.
+    post_df = spark.read.parquet(os.path.join(out_dir, "postings"))
+    term_stats = post_df.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+    n_postings = (
+        spark.read.parquet(os.path.join(out_dir, "term_stats"))
+        .agg(F.sum("df"))
+        .collect()[0][0]
+        or 0
+    )
     docs.unpersist()
 
     spark.createDataFrame(

@@ -69,42 +69,69 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 N_HASHES = 16
 BAND_SIZE = 4
 SHINGLE_K = 3
+MINHASH_P = 4294967311  # prime > 2^32; a*h+b stays < 2^63 (no overflow)
+MINHASH_SEED = 77
+
+
+def minhash_params(n_hashes: int = N_HASHES, seed: int = MINHASH_SEED):
+    """Deterministic affine-permutation params (a odd, < 2^31)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.Philox(key=[seed, 1]))
+    a = [int(x) | 1 for x in rng.integers(1, 2**31 - 1, n_hashes)]
+    b = [int(x) for x in rng.integers(0, 2**31 - 1, n_hashes)]
+    return a, b
 
 
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_HASHES, k: int = SHINGLE_K
 ) -> DataFrame:
-    """(doc_id, mh_0..mh_{H-1}) — per-row, codegen-only.
+    """(doc_id, mh array<long>) — per-row, codegen-only, ONE md5 per shingle.
 
-    mh_i = min over shingles of the first 16 hex chars of md5('i:' shingle);
-    fixed-width hex compares lexicographically == numerically, so string
-    min() is the minhash and stays portable across engines.
+    h(s) = first 8 md5 hex chars as a 32-bit int; mh_i = min over shingles of
+    (a_i*h + b_i) mod P — the classic affine-permutation MinHash, so the
+    md5 cost is paid once, not once per hash function. Two select steps keep
+    the hash array materialized (Catalyst won't inline a non-cheap projection
+    referenced n_hashes times).
     """
-    sh = _shingle_expr(k)
-    cols = [F.col("doc_id")] + [
-        F.expr(
-            f"array_min(transform({sh}, s -> substr(md5('{i}:' || s), 1, 16)))"
-        ).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return docs.select(*cols)
+    a, b = minhash_params(n_hashes)
+    hashed = docs.select(
+        "doc_id", F.explode(F.expr(_shingle_expr(k))).alias("s")
+    ).select(
+        "doc_id",
+        F.expr("cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)").alias("h"),
+    )
+    # 16 codegen'd min-aggregates with map-side partial agg: shuffle carries
+    # one 16-long row per doc, not shingles. (Nested higher-order-function
+    # formulations are interpreted per element and blow up combinatorially
+    # once the optimizer inlines them into downstream projections.)
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(({a[i]}L * h + {b[i]}L) % {MINHASH_P}L)").alias(f"m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return sigs.select(
+        "doc_id",
+        F.expr("array(" + ",".join(f"m{i}" for i in range(n_hashes)) + ")").alias("mh"),
+    )
 
 
 def minhash_bands(
     docs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
     k: int = SHINGLE_K,
 ) -> DataFrame:
-    """(doc_id, band, sig): one row per band; sig = concat of the band's
-    minhashes. Docs with no shingles (null minhash) emit no bands."""
+    """(doc_id, band, sig): one row per band; sig = '_'-joined minhashes of
+    the band. Docs with no shingles (null minhash) emit no bands."""
     sigs = minhash_signatures(docs, n_hashes, k)
     n_bands = n_hashes // band_size
     stack_args = ", ".join(
-        f"{b}, concat({', '.join(f'mh_{b * band_size + j}' for j in range(band_size))})"
+        f"{b}, concat_ws('_', {', '.join(f'cast(mh[{b * band_size + j}] as string)' for j in range(band_size))})"
         for b in range(n_bands)
     )
     return (
-        sigs.selectExpr("doc_id", f"stack({n_bands}, {stack_args}) as (band, sig)")
-        .filter(F.col("sig").isNotNull())
+        sigs.filter(F.expr("mh[0] is not null"))
+        .selectExpr("doc_id", f"stack({n_bands}, {stack_args}) as (band, sig)")
     )
 
 
@@ -138,28 +165,34 @@ SIMHASH_BITS = 32
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): tf-weighted sign-sum over token hash bits.
 
-    Per row, codegen-only: distinct tokens with counts via aggregate over the
-    word array; bit j of md5(token) contributes +tf/-tf; simhash bit j = 1
-    iff the sum > 0.
+    bit j of md5(token) contributes +tf/-tf; simhash bit j = 1 iff the sum
+    is > 0. Shaped as explode -> (doc, token) tf agg -> 32 codegen'd bit-sum
+    aggregates: both shuffles carry partially-aggregated rows, and nothing is
+    an interpreted higher-order function (those evaluate per element and get
+    inlined combinatorially downstream).
     """
-    # distinct words with tf, as an array of structs — no explode
-    toks = (
-        f"transform(array_distinct({WORDS}), w -> "
-        f"struct(w as w, size(filter({WORDS}, x -> x = w)) as tf))"
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(WORDS)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
     )
-    # 32-bit hash of a token from the first 8 md5 hex chars
-    h = "cast(conv(substr(md5(t.w), 1, 8), 16, 10) as bigint)"
-    bit_sums = (
-        f"transform(sequence(0, {bits - 1}), j -> "
-        f"aggregate({toks}, 0L, (acc, t) -> acc + "
-        f"CASE WHEN (shiftright({h}, j) & 1) = 1 THEN t.tf ELSE -t.tf END))"
+    h = tf.select(
+        "doc_id",
+        "tf",
+        F.expr("cast(conv(substr(md5(w), 1, 8), 16, 10) as bigint)").alias("h"),
     )
-    sim = (
-        f"aggregate(zip_with({bit_sums}, sequence(0, {bits - 1}), "
-        f"(s, j) -> CASE WHEN s > 0 THEN shiftleft(1L, j) ELSE 0L END), "
-        f"0L, (acc, x) -> acc + x)"
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN tf ELSE -tf END)"
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
     )
-    return docs.select("doc_id", F.expr(sim).alias("simhash"))
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(bits)
+    )
+    return sums.select("doc_id", F.expr(sim).alias("simhash"))
 
 
 def simhash_neardup_pairs(

@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # per-partition overwrite (resume writes only its shards)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # v2 commit: tasks move their own output files; v1 renames every
+        # partitioned-output file serially on the driver, a pure-Amdahl cost
+        # that caps scaling once compute is spread over enough cores
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
