@@ -96,6 +96,11 @@ def run_build_and_search(
     t0 = time.time()
     eng.search("renal failure", k=10, with_snippets=True).collect()
     times["fts+snippets:renal failure"] = round(time.time() - t0, 3)
+    # batched execution: all queries in one shard-scan job — the number that
+    # matters for workload throughput (per-query latency is Spark fixed cost)
+    t0 = time.time()
+    eng.search_batch(FTS_QUERIES, k=10).collect()
+    times["fts_batch_all"] = round(time.time() - t0, 3)
     return metrics, times
 
 

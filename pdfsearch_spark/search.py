@@ -241,6 +241,160 @@ class SearchEngine:
             out.unpersist()
         return self.spark.createDataFrame(rows, schema="doc_id long, score double") if rows else self.spark.createDataFrame([], schema="doc_id long, score double")
 
+    # ---- batched execution --------------------------------------------
+
+    def search_batch(self, queries: list[str], k: int = 10) -> DataFrame:
+        """Evaluate MANY queries in ONE shard-scan job.
+
+        Returns (query_id int, doc_id long, score double, rank int), rank
+        1..k per query by (score asc = best BM25 first, doc_id asc) — the
+        same per-query results as ``search`` (rank-identity tested), but all
+        driver-side planning collapses to one term_stats lookup and all
+        matching/scoring to one pass over postings. Per-query latency on
+        Spark is dominated by job-scheduling fixed costs; batching is how a
+        query workload actually runs at cluster scale. Empty queries yield
+        no rows; grammar errors raise (reference 400 behavior).
+        """
+        spark = self.spark
+        parsed: list[tuple[int, Node, list[Phrase]]] = []
+        all_terms: set[str] = set()
+        prefixes: set[str] = set()
+        for qid, q in enumerate(queries):
+            if not q or not q.strip():
+                continue
+            tree, phrases = parse_query(q, tokenize, unicode61_tokens)
+            parsed.append((qid, tree, phrases))
+            for p in phrases:
+                if p.col == "unindexed":
+                    continue
+                if p.prefix:
+                    all_terms.update(p.terms[:-1])
+                    prefixes.add(p.terms[-1])
+                else:
+                    all_terms.update(p.terms)
+        if not parsed:
+            return spark.createDataFrame(
+                [], schema="query_id int, doc_id long, score double, rank int"
+            )
+
+        # ONE dictionary lookup for every query's terms + prefix expansions
+        cond = F.col("term").isin(sorted(all_terms)) if all_terms else F.lit(False)
+        for pref in prefixes:
+            cond = cond | F.col("term").startswith(pref)
+        vocab = [r["term"] for r in self._term_stats.filter(cond).select("term").collect()]
+        expansions_by_q: dict[int, dict[int, list[str]]] = {}
+        needed: set[str] = set(all_terms)
+        for qid, _tree, phrases in parsed:
+            exp: dict[int, list[str]] = {}
+            for p in phrases:
+                if p.prefix:
+                    exp[p.index] = [t for t in vocab if t.startswith(p.terms[-1])]
+                    needed.update(exp[p.index])
+            expansions_by_q[qid] = exp
+
+        postings = self._postings.filter(F.col("term").isin(sorted(needed)))
+        plan = [
+            (qid, tree, phrases, expansions_by_q[qid], len(phrases))
+            for qid, tree, phrases in parsed
+        ]
+        n_docs, avgdl = self.n_docs, self.avgdl
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qid, tree, phrases, exp, P in plan:
+                res = score_shard(pdf, tree, phrases, exp, n_docs, avgdl, None, 0)
+                if res is None:
+                    continue
+                matched, mdl, mvis, local_dfs = res
+                rows = pd.DataFrame(
+                    {
+                        "query_id": np.int32(qid),
+                        "doc_id": matched,
+                        "dl": mdl,
+                        "vis": list(mvis),
+                        "dfs": [None] * len(matched),
+                        "is_stats": False,
+                    }
+                )
+                stats = pd.DataFrame(
+                    {
+                        "query_id": np.int32(qid),
+                        "doc_id": np.int64(0),
+                        "dl": np.int64(0),
+                        "vis": [None],
+                        "dfs": [[int(local_dfs.get(i, 0)) for i in range(P)]],
+                        "is_stats": True,
+                    }
+                )
+                outs.append(rows)
+                outs.append(stats)
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(dtype="int32"),
+                        "doc_id": pd.Series(dtype="int64"),
+                        "dl": pd.Series(dtype="int64"),
+                        "vis": pd.Series(dtype="object"),
+                        "dfs": pd.Series(dtype="object"),
+                        "is_stats": pd.Series(dtype="bool"),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        matched = postings.groupBy("shard").applyInPandas(
+            fn,
+            schema=(
+                "query_id int, doc_id long, dl long, vis array<long>, "
+                "dfs array<long>, is_stats boolean"
+            ),
+        )
+        matched = matched.persist()
+        try:
+            df_rows = (
+                matched.filter(F.col("is_stats"))
+                .select("query_id", F.posexplode("dfs").alias("pos", "df"))
+                .groupBy("query_id", "pos")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            dfs_by_q: dict[int, dict[int, int]] = {}
+            for r in df_rows:
+                dfs_by_q.setdefault(r["query_id"], {})[r["pos"]] = int(r["df"])
+            idf_rows = [
+                (qid, [idf_of(dfs_by_q.get(qid, {}).get(i, 0), n_docs) for i in range(P)])
+                for qid, _t, _p, _e, P in plan
+            ]
+            idf_df = self.spark.createDataFrame(
+                idf_rows, schema="query_id int, idfs array<double>"
+            )
+            score_expr = (
+                f"-aggregate(zip_with(vis, idfs, (t, f) -> "
+                f"CASE WHEN t > 0 THEN f * t * {K1 + 1.0}D / "
+                f"(t + {K1}D * ({1.0 - B}D + {B}D * dl / {self.avgdl}D)) "
+                f"ELSE 0D END), 0D, (a, x) -> a + x)"
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("score").asc(), F.col("doc_id").asc()
+            )
+            out = (
+                matched.filter(~F.col("is_stats"))
+                .join(F.broadcast(idf_df), "query_id")
+                .withColumn("score", F.expr(score_expr))
+                .select("query_id", "doc_id", "score")
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+            )
+            rows = out.collect()
+        finally:
+            matched.unpersist()
+        return spark.createDataFrame(
+            rows, schema="query_id int, doc_id long, score double, rank int"
+        ) if rows else spark.createDataFrame(
+            [], schema="query_id int, doc_id long, score double, rank int"
+        )
+
     # ---- snippets ------------------------------------------------------
 
     def _add_snippets(self, topk: DataFrame, phrases, expansions) -> DataFrame:

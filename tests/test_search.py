@@ -103,6 +103,40 @@ def test_book_filter(engine, oracle, corpus_pdf):
     assert {d for d, _ in e} == set(book_ids)
 
 
+def test_search_batch_matches_per_query(engine, oracle):
+    """search_batch (one shard-scan job for ALL queries) must return the
+    same per-query top-k as the sequential engine / the FTS5 oracle."""
+    qs = [x["query"] for x in QUERIES if not x["expect_error"]]
+    out = engine.search_batch(qs, k=10)
+    by_q: dict[int, list] = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in enumerate(qs):
+        if not q.strip():
+            assert qid not in by_q
+            continue
+        o = _oracle_pairs(oracle, q, 10)
+        got = sorted((d, s) for _rk, d, s in by_q.get(qid, []))
+        # same tie-tolerant contract as test_rank_identical_k10
+        o_scores = sorted(s for _, s in o)
+        g_scores = sorted(s for _, s in got)
+        assert len(o) == len(got), f"q={q!r}: {len(o)} vs {len(got)}"
+        for a, b in zip(o_scores, g_scores):
+            assert abs(a - b) < 1e-9, f"q={q!r}"
+        if o:
+            boundary = max(o_scores)
+            assert {d for d, s in o if s < boundary - 1e-9} == {
+                d for d, s in got if s < boundary - 1e-9
+            }, f"q={q!r}"
+
+
+def test_search_batch_syntax_error_raises(engine):
+    from pdfsearch_spark.query.parser import QuerySyntaxError
+
+    with pytest.raises(QuerySyntaxError):
+        engine.search_batch(["renal", 'bad"'], k=5)
+
+
 def test_result_shape_and_join(engine, corpus_pdf):
     """Result schema matches SearchResult; base_name comes from the
     broadcast-joined documents table (Q4)."""
