@@ -32,6 +32,12 @@ class QuerySyntaxError(ValueError):
     """Mirrors FTS5 'fts5: syntax error' / 'no such column' (reference → 400)."""
 
 
+# Sentinel for an empty quoted phrase ('""'): a valid FTS5 phrase that
+# matches nothing. U+E000 is private-use (never a unicode61 token char), so
+# it can never appear in the index.
+NOMATCH_TERM = ""
+
+
 @dataclass
 class Phrase:
     """A scoring unit: one or more adjacent terms (already analyzer-stemmed).
@@ -71,7 +77,9 @@ _TOKEN_RE = re.compile(
       | (?P<plus>\+)
       | (?P<minus>-)
       | (?P<comma>,)
-      | (?P<word>[^\s()\"*:^+,-]+)
+      | (?P<lbrace>\{)
+      | (?P<rbrace>\})
+      | (?P<word>[^\s()\"*:^+,{}-]+)
     )
     """,
     re.VERBOSE,
@@ -90,7 +98,7 @@ def _lex(q: str) -> list[tuple[str, str]]:
                 break
             raise QuerySyntaxError(f"fts5: syntax error near {rest[:10]!r}")
         i = m.end()
-        for kind in ("quoted", "lparen", "rparen", "star", "colon", "caret", "plus", "minus", "comma", "word"):
+        for kind in ("quoted", "lparen", "rparen", "star", "colon", "caret", "plus", "minus", "comma", "lbrace", "rbrace", "word"):
             v = m.group(kind)
             if v is not None:
                 toks.append((kind, v))
@@ -196,32 +204,79 @@ class _Parser:
             raise QuerySyntaxError("fts5: syntax error: empty NEAR")
         return Node("NEAR", children, near_n=near_n)
 
+    COLS = ("file_id", "page_num", "text")
+
+    def _colset(self, names: list[str], negated: bool) -> str | None:
+        """Effective restriction from a column set (order: reference DDL).
+        Returns None = text included (default scoring col); 'unindexed' =
+        only UNINDEXED columns remain → matches nothing."""
+        for c in names:
+            if c not in self.COLS:
+                raise QuerySyntaxError(f"no such column: {c}")
+        eff = set(self.COLS) - set(names) if negated else set(names)
+        return None if "text" in eff else "unindexed"
+
+    def _braced_colset(self, negated: bool) -> str | None:
+        """'{col col ...}:' — already peeked at lbrace."""
+        self.next()  # {
+        names: list[str] = []
+        while True:
+            k, v = self.next()
+            if k == "rbrace":
+                break
+            if k != "word":
+                raise QuerySyntaxError("fts5: syntax error in column set")
+            names.append(v)
+        k, _ = self.next()
+        if k != "colon":
+            raise QuerySyntaxError("fts5: syntax error: expected ':'")
+        if not names:
+            raise QuerySyntaxError("fts5: syntax error: empty column set")
+        return self._colset(names, negated)
+
     def parse_phrase(self) -> Phrase:
         anchored = False
         col: str | None = None
         kind, val = self.peek()
         if kind == "minus":
-            # '-col: ...' / bare hyphen — reference behavior is an error
+            # '-col:' / '-{col ...}:' — negated column filter; a bare hyphen
+            # ('covid-19') is the reference's "no such column" error
             self.next()
             k2, v2 = self.peek()
-            raise QuerySyntaxError(f"no such column: {v2 if k2=='word' else '-'}")
+            if k2 == "word" and self.pos + 1 < len(self.toks) and self.toks[self.pos + 1][0] == "colon":
+                self.next()
+                self.next()
+                col = self._colset([v2], negated=True)
+                kind, val = self.peek()
+            elif k2 == "lbrace":
+                col = self._braced_colset(negated=True)
+                kind, val = self.peek()
+            else:
+                raise QuerySyntaxError(f"no such column: {v2 if k2=='word' else '-'}")
         if kind == "caret":
             self.next()
             anchored = True
             kind, val = self.peek()
-        # column filter: word ':' ...
-        if kind == "word" and self.pos + 1 < len(self.toks) and self.toks[self.pos + 1][0] == "colon":
+        # column filter: word ':' ...   or   '{col col}:' ...
+        if (
+            col is None
+            and kind == "word"
+            and self.pos + 1 < len(self.toks)
+            and self.toks[self.pos + 1][0] == "colon"
+        ):
             colname = val
             if colname in ("AND", "OR", "NOT", "NEAR"):
                 raise QuerySyntaxError(f"fts5: syntax error near {colname!r}")
             self.next()
             self.next()
-            if colname == "text":
-                col = None
-            elif colname in ("file_id", "page_num"):
-                col = "unindexed"
-            else:
-                raise QuerySyntaxError(f"no such column: {colname}")
+            col = self._colset([colname], negated=False)
+            kind, val = self.peek()
+            if kind == "caret":
+                self.next()
+                anchored = True
+                kind, val = self.peek()
+        elif col is None and kind == "lbrace":
+            col = self._braced_colset(negated=False)
             kind, val = self.peek()
             if kind == "caret":
                 self.next()
@@ -234,7 +289,27 @@ class _Parser:
             kind, val = self.peek()
             if kind == "quoted":
                 self.next()
-                terms.extend(self.analyzer(val))
+                stemmed = self.analyzer(val)
+                # phrase-prefix: '"a b"*' (whitespace before '*' allowed) —
+                # the LAST token becomes a folded-not-stemmed prefix token
+                k2, _ = self.peek()
+                if k2 == "star":
+                    self.next()
+                    # prefix tokens are analyzed EXACTLY like regular tokens
+                    # (folded + porter-stemmed), then string-prefix-matched
+                    # against index terms — probe: 'running*' == 'run*',
+                    # 'coöperate*' == 'coop*' (scripts/dev_probe_fts5.py)
+                    if stemmed:
+                        terms.extend(stemmed)
+                    else:
+                        terms.append(NOMATCH_TERM)
+                    prefix = True
+                    break
+                if not stemmed:
+                    # '""' / whitespace-only phrase: valid, matches nothing
+                    terms.append(NOMATCH_TERM)
+                else:
+                    terms.extend(stemmed)
             elif kind == "word":
                 if val in ("AND", "OR", "NOT", "NEAR"):
                     break
@@ -244,12 +319,13 @@ class _Parser:
                 k2, _ = self.peek()
                 if k2 == "star":
                     self.next()
-                    # prefix tokens are folded but NOT stemmed (FTS5 passes
-                    # prefix tokens to the tokenizer with the PREFIX flag,
-                    # which skips the porter wrapper) — probe-verified in
-                    # tests/test_search.py
-                    folded = self.fold(val) if self.fold else [val.lower()]
-                    terms.extend(folded)
+                    # prefix tokens are analyzed exactly like regular tokens
+                    # (folded + porter-stemmed) before string-prefix match —
+                    # probe: 'running*' == 'run*', 'failure*' == 'failur*'
+                    if stemmed:
+                        terms.extend(stemmed)
+                    else:
+                        terms.append(NOMATCH_TERM)
                     prefix = True
                     break
                 terms.extend(stemmed)
@@ -269,16 +345,67 @@ class _Parser:
                 break
         if not terms:
             raise QuerySyntaxError("fts5: syntax error: empty phrase")
+        # empty quoted phrases vanish from concatenations ('renal + ""' ==
+        # 'renal'); a phrase of ONLY empties stays as one sentinel so the
+        # tree-level pruning below can drop it
+        real = [t for t in terms if t != NOMATCH_TERM]
+        terms = real if real else [NOMATCH_TERM]
         ph = Phrase(terms=terms, prefix=prefix, anchored=anchored, col=col)
         ph.index = len(self.phrases)
         self.phrases.append(ph)
         return ph
 
 
-def parse_query(q: str, analyzer, fold=None) -> tuple[Node, list[Phrase]]:
+def _is_empty_phrase(node: Node) -> bool:
+    return node.op == "PHRASE" and node.phrase.terms == [NOMATCH_TERM]
+
+
+def _prune_empty(node: Node) -> Node | None:
+    """Drop empty phrases ('""') — probe-verified: they are no-ops wherever
+    they appear (AND/OR/NOT rhs/NEAR member); a query REDUCING to only empty
+    phrases matches nothing ('"" NOT renal' → 0 rows)."""
+    if node.op == "PHRASE":
+        return None if _is_empty_phrase(node) else node
+    if node.op == "NEAR":
+        kept = [c for c in node.children if not _is_empty_phrase(c)]
+        if not kept:
+            return None
+        if len(kept) == 1:
+            return kept[0]
+        node.children = kept
+        return node
+    a = _prune_empty(node.children[0])
+    b = _prune_empty(node.children[1])
+    if node.op in ("AND", "OR"):
+        if a is None:
+            return b
+        if b is None:
+            return a
+    else:  # NOT
+        if a is None:
+            return None
+        if b is None:
+            return a
+    node.children = [a, b]
+    return node
+
+
+def _collect_phrases(node: Node, acc: set[int]) -> None:
+    if node.op == "PHRASE":
+        acc.add(id(node.phrase))
+    elif node.op == "NEAR":
+        for c in node.children:
+            acc.add(id(c.phrase))
+    else:
+        for c in node.children:
+            _collect_phrases(c, acc)
+
+
+def parse_query(q: str, analyzer, fold=None) -> tuple[Node | None, list[Phrase]]:
     """Parse a raw MATCH query. ``analyzer``: str → list of stemmed terms;
-    ``fold``: str → folded-not-stemmed terms (for prefixes).
-    Raises QuerySyntaxError exactly where the oracle raises."""
+    ``fold``: kept for API compat (prefixes are stemmed like everything else).
+    Raises QuerySyntaxError exactly where the oracle raises. Returns
+    (None, []) when the query prunes to nothing (matches no rows)."""
     p = _Parser(q, analyzer)
     p.fold = fold
     if not p.toks:
@@ -287,4 +414,12 @@ def parse_query(q: str, analyzer, fold=None) -> tuple[Node, list[Phrase]]:
     if p.pos != len(p.toks):
         k, v = p.toks[p.pos]
         raise QuerySyntaxError(f"fts5: syntax error near {v!r}")
-    return node, p.phrases
+    node = _prune_empty(node)
+    if node is None:
+        return None, []
+    alive: set[int] = set()
+    _collect_phrases(node, alive)
+    phrases = [ph for ph in p.phrases if id(ph) in alive]
+    for i, ph in enumerate(phrases):
+        ph.index = i
+    return node, phrases

@@ -263,6 +263,8 @@ class SearchEngine:
             if not q or not q.strip():
                 continue
             tree, phrases = parse_query(q, tokenize, unicode61_tokens)
+            if tree is None:
+                continue  # query pruned to nothing (e.g. '""') — no rows
             parsed.append((qid, tree, phrases))
             for p in phrases:
                 if p.col == "unindexed":
