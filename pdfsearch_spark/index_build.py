@@ -40,6 +40,7 @@ import time
 
 import numpy as np
 import pandas as pd
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -194,14 +195,38 @@ def term_rows(docs: DataFrame) -> DataFrame:
     return docs.select("shard", "doc_id", "text").mapInPandas(batches, schema=TERMROW_SCHEMA)
 
 
-def encode_shard_postings(avgdl: float):
-    """applyInPandas body: one shard's (doc,term) rows → encoded posting rows."""
+class _ShardMetricsParam(AccumulatorParam):
+    """Sums {shard: [sec, n_postings, n_terms, postings_bytes, pos_bytes]}."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            if k in a:
+                a[k] = [x + y for x, y in zip(a[k], v)]
+            else:
+                a[k] = list(v)
+        return a
+
+
+def encode_shard_postings(avgdl: float, metrics_acc=None):
+    """applyInPandas body: one shard's (doc,term) rows → encoded posting rows.
+
+    ``metrics_acc`` (optional): a dict-summing accumulator fed
+    ``{shard: [encode_sec, n_postings, n_terms, postings_bytes,
+    positions_bytes]}`` per group — per-partition build metrics measured at
+    the source instead of re-scanning blob columns afterwards (a blob-length
+    scan would read every posting byte back at 100 TB scale). Task retries
+    double-count; metrics are throughput evidence, not invariants.
+    """
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         from .codec import encode_shard_frame
 
         if len(pdf) == 0:
             return pd.DataFrame(columns=[f.name for f in POSTING_SCHEMA.fields])
+        t0 = time.perf_counter()
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
         cols = encode_shard_frame(
@@ -214,6 +239,16 @@ def encode_shard_postings(avgdl: float):
         )
         out = pd.DataFrame(cols)
         out.insert(0, "shard", shard)
+        if metrics_acc is not None:
+            pbytes = int(
+                sum(len(b) for b in cols["doc_blob"])
+                + sum(len(b) for b in cols["tf_blob"])
+                + sum(len(b) for b in cols["dl_blob"])
+            )
+            qbytes = int(sum(len(b) for b in cols["pos_blob"]))
+            metrics_acc.add(
+                {shard: [time.perf_counter() - t0, len(pdf), len(out), pbytes, qbytes]}
+            )
         return out[[f.name for f in POSTING_SCHEMA.fields]]
 
     return fn
@@ -278,8 +313,9 @@ def build_index(
     # groups into a handful of tasks (observed 32 shards → 5 tasks), starving
     # the most expensive stage of parallelism; the byte-size heuristic is
     # wrong for CPU-bound pandas UDFs, so pin it off for just this write.
+    shard_metrics_acc = spark.sparkContext.accumulator({}, _ShardMetricsParam())
     postings = rows.groupBy("shard").applyInPandas(
-        encode_shard_postings(avgdl), schema=POSTING_SCHEMA
+        encode_shard_postings(avgdl, shard_metrics_acc), schema=POSTING_SCHEMA
     )
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev = spark.conf.get(coalesce_key, "true")
@@ -315,17 +351,48 @@ def build_index(
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
     elapsed = time.time() - t0
-    # Per-shard lineage + metrics manifest (north_rule checkpoint clause).
+    # Per-shard lineage + metrics manifest (north_rule checkpoint clause):
+    # lineage = per-shard input fingerprint (doc count + bit_xor of doc_ids —
+    # order-independent, cheap, no blob reads) from the documents table;
+    # metrics = encode time / posting count / compressed bytes measured
+    # inside the encode UDF via accumulator.
     built = only_shards if only_shards is not None else list(range(n_shards))
-    manifest = pd.DataFrame(
-        {
-            "shard": pd.Series(built, dtype="int64"),
-            "status": "complete",
-            "built_at": pd.Timestamp.utcnow().tz_localize(None),
-            "n_docs_total": int(n_docs),
-            "elapsed_sec": elapsed,
-        }
-    )
+    lineage = {
+        r["shard"]: r
+        for r in spark.read.parquet(os.path.join(out_dir, "documents"))
+        .filter(F.col("shard").isin(built))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(doc_id)").alias("docs_fingerprint"),
+            F.sum("dl").alias("n_tokens"),
+        )
+        .collect()
+    }
+    sm = dict(shard_metrics_acc.value)
+    zero = [0.0, 0, 0, 0, 0]
+    rows_out = []
+    for s in built:
+        lin = lineage.get(s)
+        sec, n_post, n_terms, pbytes, qbytes = sm.get(s, zero)
+        rows_out.append(
+            {
+                "shard": s,
+                "status": "complete",
+                "built_at": pd.Timestamp.utcnow().tz_localize(None),
+                "n_docs": int(lin["n_docs"]) if lin else 0,
+                "docs_fingerprint": int(lin["docs_fingerprint"]) if lin else 0,
+                "n_tokens": int(lin["n_tokens"]) if lin else 0,
+                "n_terms": int(n_terms),
+                "n_postings": int(n_post),
+                "postings_bytes": int(pbytes),
+                "positions_bytes": int(qbytes),
+                "encode_sec": float(sec),
+                "docs_per_sec": (int(lin["n_docs"]) / sec) if lin and sec > 0 else 0.0,
+                "postings_per_sec": (n_post / sec) if sec > 0 else 0.0,
+            }
+        )
+    manifest = pd.DataFrame(rows_out)
     mode = "overwrite" if only_shards is None else "append"
     spark.createDataFrame(manifest).write.mode(mode).parquet(
         os.path.join(out_dir, "_build_state")
@@ -340,6 +407,8 @@ def build_index(
         "elapsed_sec": elapsed,
         "docs_per_sec": int(n_docs) / elapsed if elapsed > 0 else 0.0,
         "postings_per_sec": int(n_postings) / elapsed if elapsed > 0 else 0.0,
+        "postings_bytes": int(sum(v[3] for v in sm.values())),
+        "positions_bytes": int(sum(v[4] for v in sm.values())),
     }
 
 

@@ -24,13 +24,23 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
-        n = cpus if cpus != "*" else os.cpu_count() or 8
-        shuffle_partitions = int(n)
+    builder = SparkSession.builder.appName(app_name)
+    if master == "submit":
+        # master="submit" defers master AND sizing confs to spark-submit's
+        # --master/--conf (the cluster path: shuffle partitions belong at
+        # 2-3x total executor cores, which only the submitter knows); an
+        # explicit shuffle_partitions arg still wins.
+        if shuffle_partitions is not None:
+            builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    else:
+        if shuffle_partitions is None:
+            n = cpus if cpus != "*" else os.cpu_count() or 8
+            shuffle_partitions = int(n)
+        builder = builder.master(master).config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
