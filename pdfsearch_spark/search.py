@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .analyzer import tokenize, unicode61_tokens
+from .index_build import shard_of
 from .query.parser import Node, Phrase, QuerySyntaxError, parse_query
 from .query.scorer import K1, B, bm25_scores, idf_of, score_shard
 
@@ -45,7 +46,14 @@ class SearchEngine:
         self.avgdl = st["avgdl"]
         self.n_shards = st["n_shards"]
         self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
-        self._term_stats = spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        # The term dictionary is every query's first hop (df lookup + prefix
+        # expansion). Cache it cluster-memory-resident: ~24 B/term it is the
+        # one index structure a search engine always keeps hot (even at web
+        # scale a 10^9-term dictionary is ~10s of GB across 1000 executors);
+        # spills to disk rather than failing if memory is short.
+        self._term_stats = spark.read.parquet(
+            os.path.join(index_dir, "term_stats")
+        ).persist()
         self._documents = spark.read.parquet(os.path.join(index_dir, "documents"))
         self._doc_text = spark.read.parquet(os.path.join(index_dir, "doc_text"))
 
@@ -113,23 +121,55 @@ class SearchEngine:
         else:
             scored = self._run_general(postings, tree, phrases, expansions, k, book_ids)
 
-        topk = scored.orderBy(F.col("score").asc(), F.col("doc_id").asc()).limit(k)
+        topk_rows = (
+            scored.orderBy(F.col("score").asc(), F.col("doc_id").asc()).limit(k).collect()
+        )
+        if not topk_rows:
+            return spark.createDataFrame([], schema=RESULT_SCHEMA)
 
-        docs = self._documents.select("doc_id", "base_name")
-        out = topk.join(F.broadcast(docs), "doc_id", "left")
-
+        # Result assembly over ≤k rows. The scale-correct shape is point
+        # lookups with literal id filters — pushed down to parquet (shard
+        # partition pruning on doc_text, row-group stats pruning on doc_id)
+        # — never a join whose OTHER side is a full table scan: broadcasting
+        # `documents` or shuffling `doc_text` against a ≤200-row result is
+        # exactly the plan that dies at 10^12 docs.
+        ids = [int(r["doc_id"]) for r in topk_rows]
+        scores = [float(r["score"]) for r in topk_rows]
+        meta = {
+            int(r["doc_id"]): r["base_name"]
+            for r in self._documents.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "base_name")
+            .collect()
+        }
         if with_snippets:
-            out = self._add_snippets(out, phrases, expansions)
+            shards = sorted({shard_of(i, self.n_shards) for i in ids})
+            texts = {
+                int(r["doc_id"]): r["text"]
+                for r in self._doc_text.filter(
+                    F.col("shard").isin(shards) & F.col("doc_id").isin(ids)
+                )
+                .select("doc_id", "text")
+                .collect()
+            }
+            # snippets are a ≤k-row presentation concern — driver-side pandas,
+            # not a cluster stage (reference computes them per emitted row too)
+            titles, bodies = self._snippet_pair(
+                [texts.get(i, "") for i in ids], phrases, expansions
+            )
         else:
-            out = out.withColumn("title", F.lit("")).withColumn("text", F.lit(""))
-        return out.select(
-            "doc_id",
-            F.lit(0).alias("part"),
-            "title",
-            "text",
-            "base_name",
-            "score",
-        ).orderBy(F.col("score").asc(), F.col("doc_id").asc())
+            titles = [""] * len(ids)
+            bodies = [""] * len(ids)
+        out_pdf = pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "part": np.int32(0),
+                "title": titles,
+                "text": bodies,
+                "base_name": [meta.get(i) for i in ids],
+                "score": pd.Series(scores, dtype="float64"),
+            }
+        )
+        return spark.createDataFrame(out_pdf, schema=RESULT_SCHEMA)
 
     def _run_fast(self, postings, tree, phrases, k, book_ids):
         """dfs known a priori → shard-local scoring + per-shard top-k."""
@@ -399,7 +439,11 @@ class SearchEngine:
 
     # ---- snippets ------------------------------------------------------
 
-    def _add_snippets(self, topk: DataFrame, phrases, expansions) -> DataFrame:
+    def _snippet_pair(
+        self, texts: list[str], phrases, expansions
+    ) -> tuple[list[str], list[str]]:
+        """FTS5 snippet(…,16) titles + snippet(…,60) bodies for ≤k texts,
+        computed driver-side (Q7 runs only over emitted rows)."""
         from .query.snippet import snippet_series
 
         # phrase → per-slot allowed-term sets (prefix slot = its expansion)
@@ -414,24 +458,10 @@ class SearchEngine:
             phrase_slots.append(slots)
             anchored.append(p.anchored)
 
-        texts = self._doc_text.select("doc_id", "text")
-        joined = topk.join(texts, "doc_id", "left")
-
-        names = [f.name for f in joined.schema.fields] + ["title"]
-
-        def fn(it):
-            for pdf in it:
-                t = pdf["text"].fillna("")
-                pdf = pdf.copy()
-                pdf["title"] = snippet_series(t, phrase_slots, anchored, 16)
-                pdf["text"] = snippet_series(t, phrase_slots, anchored, 60)
-                yield pdf[names]
-
-        schema = (
-            ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields)
-            + ", title string"
-        )
-        return joined.mapInPandas(fn, schema=schema)
+        t = pd.Series(texts).fillna("")
+        titles = snippet_series(t, phrase_slots, anchored, 16)
+        bodies = snippet_series(t, phrase_slots, anchored, 60)
+        return list(titles), list(bodies)
 
 
 def tree_has_no_near(node: Node) -> bool:
