@@ -170,9 +170,11 @@ def encode_postings(
         "tf_blob": tf_blob,
         "pos_blob": pos_blob,
         "first_docs": doc_ids[starts].tolist(),
+        "last_docs": doc_ids[np.minimum(starts + BLOCK, n) - 1].tolist(),
         "doc_offs": (offs[b_doc + starts] - offs[b_doc]).tolist(),
         "tf_offs": (offs[b_tf + starts] - offs[b_tf]).tolist(),
         "pos_offs": (offs[b_pos + cidx[starts]] - offs[b_pos]).tolist(),
+        "dl_offs": (offs[b_dl + starts] - offs[b_dl]).tolist(),
         "block_lens": block_lens.tolist(),
         "max_impacts": [float(x) for x in max_impacts],
     }
@@ -198,8 +200,8 @@ def encode_shard_frame(
     if n == 0:
         return {k: [] for k in (
             "term", "df", "cf", "dl_blob", "doc_blob", "tf_blob", "pos_blob",
-            "first_docs", "doc_offs", "tf_offs", "pos_offs", "block_lens",
-            "max_impacts",
+            "first_docs", "last_docs", "doc_offs", "tf_offs", "pos_offs",
+            "dl_offs", "block_lens", "max_impacts",
         )}
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -260,6 +262,7 @@ def encode_shard_frame(
     impact = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * (dls / max(avgdl, 1e-9))))
     max_imp = np.maximum.reduceat(impact, bs)
     first_docs = doc_ids[bs]
+    last_docs = doc_ids[be - 1]
     block_lens = (be - bs).astype(np.int64)
 
     # byte offsets, relative to each term's stream start
@@ -267,13 +270,16 @@ def encode_shard_frame(
     tf_off_b = offs[b_tf + bs] - offs[b_tf + ts[:-1]][tb]
     pos_term_start = cidx[ts[:-1]]  # value idx of term's pos-stream start
     pos_off_b = offs[b_pos + cidx[bs]] - offs[b_pos + pos_term_start][tb]
+    dl_off_b = offs[b_dl + bs] - offs[b_dl + ts[:-1]][tb]
 
     # split block-grained arrays by term
     cuts = np.cumsum(nblocks)[:-1]
     first_docs_l = np.split(first_docs, cuts)
+    last_docs_l = np.split(last_docs, cuts)
     doc_offs_l = np.split(doc_off_b, cuts)
     tf_offs_l = np.split(tf_off_b, cuts)
     pos_offs_l = np.split(pos_off_b, cuts)
+    dl_offs_l = np.split(dl_off_b, cuts)
     block_lens_l = np.split(block_lens, cuts)
     max_imp_l = np.split(max_imp.astype(np.float32), cuts)
 
@@ -294,9 +300,11 @@ def encode_shard_frame(
         "tf_blob": [bytes(mv[tf_b[t] : tf_b[t + 1]]) for t in range(T)],
         "pos_blob": [bytes(mv[pos_b[t] : pos_b[t + 1]]) for t in range(T)],
         "first_docs": [a.tolist() for a in first_docs_l],
+        "last_docs": [a.tolist() for a in last_docs_l],
         "doc_offs": [a.tolist() for a in doc_offs_l],
         "tf_offs": [a.tolist() for a in tf_offs_l],
         "pos_offs": [a.tolist() for a in pos_offs_l],
+        "dl_offs": [a.tolist() for a in dl_offs_l],
         "block_lens": [a.tolist() for a in block_lens_l],
         "max_impacts": [a.tolist() for a in max_imp_l],
     }
@@ -321,6 +329,22 @@ def decode_tfs(tf_blob: bytes) -> np.ndarray:
 
 def decode_dls(dl_blob: bytes) -> np.ndarray:
     return varint_decode(dl_blob).astype(np.int64)
+
+
+def decode_block_doc_ids(doc_blob: bytes, offset: int, count: int) -> np.ndarray:
+    """Decode the doc ids of ONE block without touching the rest of the list
+    (blocks are independently decodable: zigzag first value, plain gaps)."""
+    gaps = varint_decode(doc_blob, count=count, offset=int(offset))
+    out = np.empty(count, dtype=np.int64)
+    out[0] = unzigzag(int(gaps[0]))
+    if count > 1:
+        out[1:] = out[0] + np.cumsum(gaps[1:].astype(np.int64))
+    return out
+
+
+def decode_block_u64(blob: bytes, offset: int, count: int) -> np.ndarray:
+    """Decode ``count`` plain varints of ONE block (tf or dl stream)."""
+    return varint_decode(blob, count=count, offset=int(offset)).astype(np.int64)
 
 
 def decode_positions(pos_blob: bytes, df: int) -> list[np.ndarray]:

@@ -93,9 +93,11 @@ POSTING_SCHEMA = StructType(
         StructField("tf_blob", BinaryType()),
         StructField("pos_blob", BinaryType()),
         StructField("first_docs", ArrayType(LongType())),
+        StructField("last_docs", ArrayType(LongType())),
         StructField("doc_offs", ArrayType(LongType())),
         StructField("tf_offs", ArrayType(LongType())),
         StructField("pos_offs", ArrayType(LongType())),
+        StructField("dl_offs", ArrayType(LongType())),
         StructField("block_lens", ArrayType(IntegerType())),
         StructField("max_impacts", ArrayType(FloatType())),
     ]

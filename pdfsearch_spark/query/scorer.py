@@ -397,3 +397,169 @@ def idf_of(df: int, n_docs: int) -> float:
 
     v = math.log((n_docs - df + 0.5) / (df + 0.5))
     return 1e-6 if v <= 0 else v
+
+
+# ---- block-max WAND (pure-conjunction fast path) ------------------------
+
+class BlockList:
+    """Lazily-decoded posting list: block metadata up front, per-block decode
+    on demand — a skipped block's bytes are never touched. Backed by the
+    codec's independently-decodable 128-doc blocks (codec.py)."""
+
+    __slots__ = (
+        "first_docs", "last_docs", "doc_offs", "tf_offs", "dl_offs",
+        "block_lens", "max_impacts", "doc_blob", "tf_blob", "dl_blob",
+        "n_blocks", "n_docs", "_cache",
+    )
+
+    def __init__(self, row) -> None:
+        self.first_docs = np.asarray(row.first_docs, dtype=np.int64)
+        self.last_docs = np.asarray(row.last_docs, dtype=np.int64)
+        self.doc_offs = row.doc_offs
+        self.tf_offs = row.tf_offs
+        self.dl_offs = row.dl_offs
+        self.block_lens = row.block_lens
+        # float32 on disk → widen; the skip test adds a relative margin that
+        # more than covers the float32 rounding of the stored bound
+        self.max_impacts = np.asarray(row.max_impacts, dtype=np.float64)
+        self.doc_blob = bytes(row.doc_blob)
+        self.tf_blob = bytes(row.tf_blob)
+        self.dl_blob = bytes(row.dl_blob)
+        self.n_blocks = len(self.block_lens)
+        self.n_docs = int(row.df)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        b = self._cache.get(i)
+        if b is None:
+            from ..codec import decode_block_doc_ids, decode_block_u64
+
+            n = int(self.block_lens[i])
+            b = (
+                decode_block_doc_ids(self.doc_blob, self.doc_offs[i], n),
+                decode_block_u64(self.tf_blob, self.tf_offs[i], n),
+                decode_block_u64(self.dl_blob, self.dl_offs[i], n),
+            )
+            self._cache[i] = b
+        return b
+
+    def blocks_concat(self, j0: int, j1: int):
+        parts = [self.block(j) for j in range(j0, j1)]
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(np.concatenate([p[c] for p in parts]) for c in range(3))
+
+
+def wand_shard_topk(
+    posting_rows,
+    phrase_terms: list[str],
+    idfs: np.ndarray,
+    avgdl: float,
+    k: int,
+    books: np.ndarray | None = None,
+    counters: dict | None = None,
+):
+    """Block-max WAND top-k for a pure conjunction of plain terms.
+
+    The shard's rarest term drives iteration block by block; every other
+    term contributes only the blocks overlapping the pivot block's doc-id
+    range. A block is scored only if its upper bound — Σ_t weight_t ·
+    block_max_impact_t over the overlapping range — can still beat the
+    bounded min-heap's current k-th score; otherwise its bytes are never
+    decoded (SURVEY.md §2.5 Q2, north_rule "block-max WAND pruning and a
+    bounded min-heap per partition").
+
+    Returns (doc_ids, scores[negative bm25]) of the shard's top-k, or None.
+    IDENTICAL results to the exhaustive path by construction: survivors are
+    scored through the same ``bm25_scores`` float path (elementwise, so
+    per-doc values are bit-equal), and the skip test keeps a relative
+    margin so float32 block bounds stay conservative (SURVEY.md §7.8-5).
+    ``counters`` (optional) accrues blocks_total / blocks_skipped /
+    blocks_dead evidence.
+    """
+    import heapq
+
+    lists: dict[str, BlockList] = {}
+    wanted = set(phrase_terms)
+    for r in posting_rows.itertuples():
+        if r.term in wanted:
+            lists[r.term] = BlockList(r)
+    terms = sorted(wanted)
+    if any(t not in lists for t in terms):
+        return None  # conjunction cannot match in this shard
+
+    # per-distinct-term weight for the upper bound (phrases may repeat terms)
+    w: dict[str, float] = {t: 0.0 for t in terms}
+    for pi, t in enumerate(phrase_terms):
+        w[t] += float(idfs[pi])
+
+    pivot = min(terms, key=lambda t: lists[t].n_docs)
+    others = [t for t in terms if t != pivot]
+    P = len(phrase_terms)
+    piv = lists[pivot]
+
+    heap: list[tuple[float, int]] = []  # (total, -doc_id) min-heap, size ≤ k
+    n_skipped = n_dead = 0
+    for i in range(piv.n_blocks):
+        lo = piv.first_docs[i]
+        hi = piv.last_docs[i]  # inclusive block doc range [lo, hi]
+        ub = w[pivot] * float(piv.max_impacts[i])
+        ranges: list[tuple[str, int, int]] = []
+        dead = False
+        for t in others:
+            # blocks of t overlapping [lo, hi]: last_doc ≥ lo ∧ first_doc ≤ hi
+            ol = lists[t]
+            j0 = int(np.searchsorted(ol.last_docs, lo, side="left"))
+            j1 = int(np.searchsorted(ol.first_docs, hi, side="right"))
+            if j1 <= j0:
+                dead = True
+                break
+            ranges.append((t, j0, j1))
+            ub += w[t] * float(lists[t].max_impacts[j0:j1].max())
+        if dead:
+            n_dead += 1
+            continue
+        if len(heap) >= k and ub * (1.0 + 1e-6) + 1e-9 < heap[0][0]:
+            n_skipped += 1
+            continue
+
+        docs, tfs, dls = piv.block(i)
+        if books is not None:
+            sel = np.isin(docs, books)
+            if not sel.any():
+                continue
+            docs, tfs, dls = docs[sel], tfs[sel], dls[sel]
+        term_tfs: dict[str, np.ndarray] = {pivot: tfs}
+        alive = np.ones(len(docs), dtype=bool)
+        for t, j0, j1 in ranges:
+            odocs, otfs, _ = lists[t].blocks_concat(j0, j1)
+            loc = np.searchsorted(odocs, docs)
+            loc_c = np.minimum(loc, len(odocs) - 1)
+            hit = odocs[loc_c] == docs
+            alive &= hit
+            if not alive.any():
+                break
+            term_tfs[t] = np.where(hit, otfs[loc_c], 0)
+        if not alive.any():
+            continue
+        docs_a = docs[alive]
+        vis = np.empty((len(docs_a), P), dtype=np.int64)
+        for pi, t in enumerate(phrase_terms):
+            vis[:, pi] = term_tfs[t][alive]
+        totals = -bm25_scores(vis, dls[alive], np.asarray(idfs, dtype=np.float64), avgdl)
+        for d, tot in zip(docs_a.tolist(), totals.tolist()):
+            item = (tot, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+    if counters is not None:
+        counters["blocks_total"] = counters.get("blocks_total", 0) + piv.n_blocks
+        counters["blocks_skipped"] = counters.get("blocks_skipped", 0) + n_skipped
+        counters["blocks_dead"] = counters.get("blocks_dead", 0) + n_dead
+    if not heap:
+        return None
+    doc_ids = np.array([-d for _, d in heap], dtype=np.int64)
+    scores = np.array([-t for t, _ in heap], dtype=np.float64)
+    return doc_ids, scores

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .analyzer import tokenize, unicode61_tokens
 from .index_build import shard_of
 from .query.parser import Node, Phrase, QuerySyntaxError, parse_query
-from .query.scorer import K1, B, bm25_scores, idf_of, score_shard
+from .query.scorer import K1, B, bm25_scores, idf_of, score_shard, wand_shard_topk
 
 RESULT_SCHEMA = (
     "doc_id long, part int, title string, text string, base_name string, score double"
@@ -172,7 +172,14 @@ class SearchEngine:
         return spark.createDataFrame(out_pdf, schema=RESULT_SCHEMA)
 
     def _run_fast(self, postings, tree, phrases, k, book_ids):
-        """dfs known a priori → shard-local scoring + per-shard top-k."""
+        """dfs known a priori → shard-local scoring + per-shard top-k.
+
+        Pure conjunctions (the dominant query shape) additionally run
+        block-max WAND: block metadata prunes postings blocks that cannot
+        beat the shard's bounded min-heap, so their bytes are never decoded
+        (north_rule; SURVEY.md §2.5 Q2). Boolean trees with OR/NOT score
+        exhaustively — visible-tf semantics there need every candidate.
+        Results are identical either way (tests/test_search.py A/B)."""
         term_list = sorted({p.terms[0] for p in phrases})
         df_rows = {
             r["term"]: r["df"]
@@ -183,17 +190,28 @@ class SearchEngine:
         )
         n_docs, avgdl = self.n_docs, self.avgdl
         books = np.array(sorted(book_ids), dtype=np.int64) if book_ids else None
+        use_wand = tree_is_pure_and(tree)
+        phrase_terms = [p.terms[0] for p in phrases]
+        empty = lambda: pd.DataFrame(  # noqa: E731
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if use_wand:
+                res = wand_shard_topk(pdf, phrase_terms, idfs, avgdl, k, books)
+                if res is None:
+                    return empty()
+                doc_ids, scores = res
+                return pd.DataFrame({"doc_id": doc_ids, "score": scores})
             res = score_shard(pdf, tree, phrases, {}, n_docs, avgdl, None, k)
             if res is None:
-                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+                return empty()
             matched, mdl, mvis, _ = res
             if books is not None:
                 sel = np.isin(matched, books)
                 matched, mdl, mvis = matched[sel], mdl[sel], mvis[sel]
                 if len(matched) == 0:
-                    return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+                    return empty()
             scores = bm25_scores(mvis, mdl, idfs, avgdl)
             if len(scores) > k:
                 part = np.argpartition(scores, k)[:k]
@@ -468,3 +486,12 @@ def tree_has_no_near(node: Node) -> bool:
     if node.op == "NEAR":
         return False
     return all(tree_has_no_near(c) for c in node.children)
+
+
+def tree_is_pure_and(node: Node) -> bool:
+    """True iff the tree is a conjunction of plain phrases (no OR/NOT/NEAR)."""
+    if node.op == "PHRASE":
+        return True
+    if node.op == "AND":
+        return all(tree_is_pure_and(c) for c in node.children)
+    return False
