@@ -69,6 +69,19 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     _add_master(b)
 
+    r = sub.add_parser(
+        "refresh", help="append docs newer than the index watermark as a new segment"
+    )
+    r.add_argument("-d", "--pages", required=True, help="input pages table (parquet dir)")
+    r.add_argument("-i", "--index", required=True, help="existing index dir")
+    _add_master(r)
+
+    c = sub.add_parser(
+        "compact", help="merge all segments into one (offline maintenance)"
+    )
+    c.add_argument("-i", "--index", required=True, help="existing index dir")
+    _add_master(c)
+
     s = sub.add_parser("search", help="run one MATCH query (reference: GET /search)")
     s.add_argument("-i", "--index", required=True, help="index dir from build_index")
     s.add_argument("-q", "--query", required=True, help="FTS5 MATCH query string")
@@ -106,6 +119,19 @@ def main(argv: list[str] | None = None) -> int:
         fn = resume_build if args.resume else build_index
         metrics = fn(spark, pages, args.index, n_shards=n_shards)
         print(json.dumps(metrics))
+        return 0
+
+    if args.command == "refresh":
+        from .index_build import refresh_index
+
+        metrics = refresh_index(spark, spark.read.parquet(args.pages), args.index)
+        print(json.dumps(metrics))
+        return 0
+
+    if args.command == "compact":
+        from .index_build import compact_index
+
+        print(json.dumps(compact_index(spark, args.index)))
         return 0
 
     if args.command == "search":

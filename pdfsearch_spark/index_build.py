@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -55,6 +56,10 @@ from pyspark.sql.types import (
 )
 
 SHARD_DEFAULT = 32
+
+# On-disk index format version (bumped on any postings/stats schema change);
+# readers refuse a mismatched index instead of misreading it.
+INDEX_FORMAT = 3
 
 TERMROW_SCHEMA = StructType(
     [
@@ -84,6 +89,7 @@ DOCROW_SCHEMA = StructType(
 
 POSTING_SCHEMA = StructType(
     [
+        StructField("segment", IntegerType()),
         StructField("shard", IntegerType()),
         StructField("term", StringType()),
         StructField("df", LongType()),
@@ -100,6 +106,10 @@ POSTING_SCHEMA = StructType(
         StructField("dl_offs", ArrayType(LongType())),
         StructField("block_lens", ArrayType(IntegerType())),
         StructField("max_impacts", ArrayType(FloatType())),
+        # avgdl at encode time: block max_impacts are valid WAND bounds only
+        # for that avgdl; after refreshes shift the corpus avgdl, the query
+        # side rescales the bound by max(1, avgdl_now/enc_avgdl) (scorer.py)
+        StructField("enc_avgdl", DoubleType()),
     ]
 )
 
@@ -212,7 +222,7 @@ class _ShardMetricsParam(AccumulatorParam):
         return a
 
 
-def encode_shard_postings(avgdl: float, metrics_acc=None):
+def encode_shard_postings(avgdl: float, metrics_acc=None, segment: int = 0):
     """applyInPandas body: one shard's (doc,term) rows → encoded posting rows.
 
     ``metrics_acc`` (optional): a dict-summing accumulator fed
@@ -241,6 +251,8 @@ def encode_shard_postings(avgdl: float, metrics_acc=None):
         )
         out = pd.DataFrame(cols)
         out.insert(0, "shard", shard)
+        out.insert(0, "segment", np.int32(segment))
+        out["enc_avgdl"] = float(avgdl)
         if metrics_acc is not None:
             pbytes = int(
                 sum(len(b) for b in cols["doc_blob"])
@@ -269,6 +281,13 @@ def build_index(
     to the given shards (documents/stats stages are idempotent overwrites).
     """
     t0 = time.time()
+    if only_shards is None:
+        # Fresh build: clear prior table dirs. Dynamic partition overwrite
+        # (needed for resume/refresh) only replaces partitions present in the
+        # output, so a rebuild over an old dir would otherwise leave orphan
+        # shard/segment partitions behind.
+        for sub in ("postings", "doc_text", "documents"):
+            _hdfs_rm(spark, os.path.join(out_dir, sub))
     # The dedup shuffle is tiny in bytes, so AQE coalesces it to a handful of
     # partitions — and that post-shuffle partitioning would be inherited by
     # the persisted cache, serializing every CPU-heavy pandas-UDF consumer
@@ -280,18 +299,22 @@ def build_index(
     # shuffle below; persist to avoid re-extracting per consumer.
     docs.persist()
 
-    meta = docs.drop("text", "part")
-    meta.write.mode("overwrite").parquet(os.path.join(out_dir, "documents"))
+    meta = docs.drop("text", "part").withColumn("segment", F.lit(0))
+    meta.write.partitionBy("segment").mode("overwrite").parquet(
+        os.path.join(out_dir, "documents")
+    )
 
-    doc_text = docs.select("shard", "doc_id", "part", "text")
+    doc_text = docs.select("shard", "doc_id", "part", "text").withColumn(
+        "segment", F.lit(0)
+    )
     if only_shards is not None:
         doc_text = doc_text.filter(F.col("shard").isin(only_shards))
     # Cluster rows by shard before the partitioned write: from P upstream
     # partitions x S shards, an unclustered write emits P*S tiny files (and
     # P*S committer round-trips); clustered, it's ~one file per shard.
-    doc_text.repartition(n_shards, F.col("shard")).write.partitionBy("shard").mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "doc_text"))
+    doc_text.repartition(n_shards, F.col("shard")).write.partitionBy(
+        "segment", "shard"
+    ).mode("overwrite").parquet(os.path.join(out_dir, "doc_text"))
 
     # Corpus stats: N counts every row (FTS5 includes zero-token docs in N
     # and avgdl).
@@ -299,12 +322,14 @@ def build_index(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
+        F.max("warc_ts").alias("watermark"),
     ).collect()[0]
     n_docs, avgdl, total_tokens = (
         stats_row["n_docs"],
         float(stats_row["avgdl"] or 0.0),
         stats_row["total_tokens"] or 0,
     )
+    watermark = stats_row["watermark"]
 
     rows = term_rows(docs)
     if only_shards is not None:
@@ -323,7 +348,7 @@ def build_index(
     prev = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
     try:
-        postings.write.partitionBy("shard").mode("overwrite").parquet(
+        postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
             os.path.join(out_dir, "postings")
         )
     finally:
@@ -347,10 +372,7 @@ def build_index(
     )
     docs.unpersist()
 
-    spark.createDataFrame(
-        [(int(n_docs), float(avgdl), int(total_tokens), int(n_shards))],
-        schema="n_docs long, avgdl double, total_tokens long, n_shards int",
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+    _write_stats(spark, out_dir, n_docs, avgdl, total_tokens, n_shards, 1, watermark)
 
     elapsed = time.time() - t0
     # Per-shard lineage + metrics manifest (north_rule checkpoint clause):
@@ -414,6 +436,43 @@ def build_index(
     }
 
 
+def _hdfs_rm(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FS API (works for any scheme)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def _write_stats(
+    spark: SparkSession,
+    out_dir: str,
+    n_docs: int,
+    avgdl: float,
+    total_tokens: int,
+    n_shards: int,
+    n_segments: int,
+    watermark,
+) -> None:
+    spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                float(avgdl),
+                int(total_tokens),
+                int(n_shards),
+                int(n_segments),
+                int(INDEX_FORMAT),
+                watermark,
+            )
+        ],
+        schema=(
+            "n_docs long, avgdl double, total_tokens long, n_shards int, "
+            "n_segments int, format int, watermark timestamp"
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+
+
 def resume_build(
     spark: SparkSession, pages: DataFrame, out_dir: str, n_shards: int = SHARD_DEFAULT
 ) -> dict:
@@ -431,3 +490,241 @@ def resume_build(
     if not missing:
         return {"resumed": 0}
     return build_index(spark, pages, out_dir, n_shards, only_shards=missing)
+
+
+def refresh_index(spark: SparkSession, pages: DataFrame, out_dir: str) -> dict:
+    """Incremental batch append over new ``warc_ts`` ranges (SURVEY.md §2.8:
+    the reference's "refresh" is a rerun; ours is a Lucene/Iceberg-style
+    segment append — no existing postings are rewritten).
+
+    A refresh writes one new SEGMENT: docs newer than the index watermark get
+    their own complete postings/doc_text/documents partitions under
+    ``segment=<n>``. Doc ids are hash-sharded, so every doc's postings still
+    land in its shard — a query stays shard-local and evaluates each segment
+    independently (segments partition the doc space; scorer merges).
+
+    Crash safety: all data writes are idempotent dynamic partition overwrites
+    of the new segment's partitions, and the small ``stats`` file — carrying
+    the watermark and segment count — is written LAST as the commit point.
+    A rerun after any crash recomputes the same batch (same watermark, same
+    anti-join against committed segments) and overwrites the same partitions.
+    On Iceberg this whole function is one transaction; on plain parquet the
+    ordering provides the same at-least-once-with-idempotence guarantee.
+
+    Re-crawled urls keep their first version (reference semantics:
+    ``files.path UNIQUE`` + INSERT DO NOTHING, database/database.go:46,257).
+    """
+    t0 = time.time()
+    st = spark.read.parquet(os.path.join(out_dir, "stats")).collect()[0]
+    if int(st["format"]) != INDEX_FORMAT:
+        raise ValueError(
+            f"index format {st['format']} != reader format {INDEX_FORMAT}; rebuild"
+        )
+    n_shards = int(st["n_shards"])
+    seg = int(st["n_segments"])
+    watermark = st["watermark"]
+
+    new_pages = pages
+    if watermark is not None:
+        new_pages = pages.filter(F.col("warc_ts") > F.lit(watermark))
+    docs = extract_documents(new_pages, n_shards).dropDuplicates(["doc_id"])
+    # committed docs only (segment < seg): a crashed attempt's orphan
+    # documents partition must not mask its docs out of the redo batch
+    old_ids = (
+        spark.read.parquet(os.path.join(out_dir, "documents"))
+        .filter(F.col("segment") < seg)
+        .select("doc_id")
+    )
+    docs = docs.join(old_ids, "doc_id", "left_anti")
+    n_spread = max(n_shards, spark.sparkContext.defaultParallelism * 2)
+    docs = docs.repartition(n_spread).persist()
+    agg = docs.agg(
+        F.count("*").alias("n_new"),
+        F.sum("dl").alias("new_tokens"),
+        F.max("warc_ts").alias("new_wm"),
+    ).collect()[0]
+    n_new = int(agg["n_new"] or 0)
+    if n_new == 0:
+        docs.unpersist()
+        return {"appended_docs": 0, "segment": None, "elapsed_sec": time.time() - t0}
+    n_docs2 = int(st["n_docs"]) + n_new
+    total2 = int(st["total_tokens"]) + int(agg["new_tokens"] or 0)
+    avgdl2 = total2 / n_docs2 if n_docs2 else 0.0
+
+    # 1) postings for the new segment (blocks encoded against the NEW avgdl;
+    #    older segments' block bounds are rescaled at query time via enc_avgdl)
+    shard_metrics_acc = spark.sparkContext.accumulator({}, _ShardMetricsParam())
+    postings = term_rows(docs).groupBy("shard").applyInPandas(
+        encode_shard_postings(avgdl2, shard_metrics_acc, segment=seg),
+        schema=POSTING_SCHEMA,
+    )
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
+            os.path.join(out_dir, "postings")
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    # 2) doc_text + documents partitions for the segment
+    docs.select("shard", "doc_id", "part", "text").withColumn(
+        "segment", F.lit(seg)
+    ).repartition(n_shards, F.col("shard")).write.partitionBy(
+        "segment", "shard"
+    ).mode("overwrite").parquet(os.path.join(out_dir, "doc_text"))
+    docs.drop("text", "part").withColumn("segment", F.lit(seg)).write.partitionBy(
+        "segment"
+    ).mode("overwrite").parquet(os.path.join(out_dir, "documents"))
+
+    # 3) global term stats recomputed from the postings table (column-pruned
+    #    scan of (term, df, cf) — blobs untouched)
+    post_df = spark.read.parquet(os.path.join(out_dir, "postings"))
+    post_df.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+
+    # 4) per-shard lineage + metrics for the manifest
+    lineage = {
+        r["shard"]: r
+        for r in spark.read.parquet(os.path.join(out_dir, "documents"))
+        .filter(F.col("segment") == seg)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(doc_id)").alias("docs_fingerprint"),
+            F.sum("dl").alias("n_tokens"),
+        )
+        .collect()
+    }
+    sm = dict(shard_metrics_acc.value)
+    zero = [0.0, 0, 0, 0, 0]
+    rows_out = []
+    for s in sorted(lineage):
+        lin = lineage[s]
+        sec, n_post, n_terms, pbytes, qbytes = sm.get(s, zero)
+        rows_out.append(
+            {
+                "shard": s,
+                "status": "complete",
+                "built_at": pd.Timestamp.utcnow().tz_localize(None),
+                "n_docs": int(lin["n_docs"]),
+                "docs_fingerprint": int(lin["docs_fingerprint"]),
+                "n_tokens": int(lin["n_tokens"]),
+                "n_terms": int(n_terms),
+                "n_postings": int(n_post),
+                "postings_bytes": int(pbytes),
+                "positions_bytes": int(qbytes),
+                "encode_sec": float(sec),
+                "docs_per_sec": (int(lin["n_docs"]) / sec) if sec > 0 else 0.0,
+                "postings_per_sec": (n_post / sec) if sec > 0 else 0.0,
+            }
+        )
+    if rows_out:
+        spark.createDataFrame(pd.DataFrame(rows_out)).write.mode("append").parquet(
+            os.path.join(out_dir, "_build_state")
+        )
+    docs.unpersist()
+
+    # 5) COMMIT: stats last — new watermark + segment count become visible
+    #    only once every data partition for the segment is in place
+    _write_stats(
+        spark, out_dir, n_docs2, avgdl2, total2, n_shards, seg + 1, agg["new_wm"]
+    )
+    elapsed = time.time() - t0
+    return {
+        "appended_docs": n_new,
+        "segment": seg,
+        "n_docs": n_docs2,
+        "avgdl": avgdl2,
+        "elapsed_sec": elapsed,
+        "docs_per_sec": n_new / elapsed if elapsed > 0 else 0.0,
+    }
+
+
+def decoded_term_rows(postings: DataFrame) -> DataFrame:
+    """Inverse of the encode stage: posting rows → (shard, doc_id, term, tf,
+    dl, positions) rows, streamed via mapInPandas (compaction input)."""
+
+    def batches(it):
+        from .codec import decode_dls, decode_doc_ids, decode_positions, decode_tfs
+
+        for pdf in it:
+            for r in pdf.itertuples():
+                doc_ids = decode_doc_ids(bytes(r.doc_blob), list(r.block_lens))
+                tfs = decode_tfs(bytes(r.tf_blob))
+                dls = decode_dls(bytes(r.dl_blob))
+                pos = decode_positions(bytes(r.pos_blob), len(doc_ids))
+                yield pd.DataFrame(
+                    {
+                        "shard": np.int32(r.shard),
+                        "doc_id": doc_ids,
+                        "term": r.term,
+                        "tf": tfs.astype(np.int32),
+                        "dl": dls.astype(np.int32),
+                        "positions": [p.astype(np.int32) for p in pos],
+                    }
+                )
+
+    return postings.mapInPandas(batches, schema=TERMROW_SCHEMA)
+
+
+def compact_index(spark: SparkSession, out_dir: str) -> dict:
+    """Merge all segments back into one (segment 0), re-encoding blocks
+    against the current avgdl — the Lucene merge / Iceberg rewriteDataFiles
+    analog. Offline maintenance: the swap of table dirs is not atomic on
+    plain parquet (on Iceberg it is one RewriteFiles commit); run it while
+    no readers are active.
+    """
+    t0 = time.time()
+    st = spark.read.parquet(os.path.join(out_dir, "stats")).collect()[0]
+    if int(st["n_segments"]) <= 1:
+        return {"compacted": False, "elapsed_sec": time.time() - t0}
+    n_shards, avgdl = int(st["n_shards"]), float(st["avgdl"])
+
+    # decode → merge → re-encode per shard, into side dirs first
+    rows = decoded_term_rows(spark.read.parquet(os.path.join(out_dir, "postings")))
+    merged = rows.groupBy("shard").applyInPandas(
+        encode_shard_postings(avgdl, segment=0), schema=POSTING_SCHEMA
+    )
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        merged.write.partitionBy("segment", "shard").mode("overwrite").parquet(
+            os.path.join(out_dir, "postings.compact")
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    for tbl, parts in (("doc_text", ("segment", "shard")), ("documents", ("segment",))):
+        df = spark.read.parquet(os.path.join(out_dir, tbl)).withColumn(
+            "segment", F.lit(0)
+        )
+        if tbl == "doc_text":
+            df = df.repartition(n_shards, F.col("shard"))
+        df.write.partitionBy(*parts).mode("overwrite").parquet(
+            os.path.join(out_dir, f"{tbl}.compact")
+        )
+
+    # swap (non-atomic on plain parquet; see docstring)
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(out_dir).getFileSystem(sc._jsc.hadoopConfiguration())
+    for tbl in ("postings", "doc_text", "documents"):
+        old = jpath(os.path.join(out_dir, tbl))
+        new = jpath(os.path.join(out_dir, f"{tbl}.compact"))
+        fs.delete(old, True)
+        fs.rename(new, old)
+
+    _write_stats(
+        spark,
+        out_dir,
+        int(st["n_docs"]),
+        avgdl,
+        int(st["total_tokens"]),
+        n_shards,
+        1,
+        st["watermark"],
+    )
+    return {"compacted": True, "elapsed_sec": time.time() - t0}

@@ -41,16 +41,37 @@ class TermPostings:
 
 
 class ShardIndex:
-    """Decoded postings for the query's terms within one shard."""
+    """Decoded postings for the query's terms within one shard.
+
+    A term may span several SEGMENTS (incremental refresh appends one posting
+    row per (segment, term, shard)); segments partition the doc space, so the
+    merge is a concat + sort by doc id with no duplicates."""
 
     def __init__(self, posting_rows, need_positions: bool) -> None:
-        self.terms: dict[str, TermPostings] = {}
+        parts: dict[str, list[TermPostings]] = {}
         for r in posting_rows.itertuples():
             doc_ids = decode_doc_ids(bytes(r.doc_blob), list(r.block_lens))
             tfs = decode_tfs(bytes(r.tf_blob))
             dls = decode_dls(bytes(r.dl_blob))
             pos = decode_positions(bytes(r.pos_blob), len(doc_ids)) if need_positions else None
-            self.terms[r.term] = TermPostings(doc_ids, tfs, dls, pos)
+            parts.setdefault(r.term, []).append(TermPostings(doc_ids, tfs, dls, pos))
+        self.terms: dict[str, TermPostings] = {}
+        for term, tps in parts.items():
+            if len(tps) == 1:
+                self.terms[term] = tps[0]
+                continue
+            doc_ids = np.concatenate([t.doc_ids for t in tps])
+            order = np.argsort(doc_ids, kind="stable")
+            pos = None
+            if need_positions:
+                flat = [p for t in tps for p in t.positions]
+                pos = [flat[i] for i in order]
+            self.terms[term] = TermPostings(
+                doc_ids[order],
+                np.concatenate([t.tfs for t in tps])[order],
+                np.concatenate([t.dls for t in tps])[order],
+                pos,
+            )
 
     def get(self, term: str) -> TermPostings | None:
         return self.terms.get(term)
@@ -412,7 +433,7 @@ class BlockList:
         "n_blocks", "n_docs", "_cache",
     )
 
-    def __init__(self, row) -> None:
+    def __init__(self, row, avgdl: float) -> None:
         self.first_docs = np.asarray(row.first_docs, dtype=np.int64)
         self.last_docs = np.asarray(row.last_docs, dtype=np.int64)
         self.doc_offs = row.doc_offs
@@ -420,8 +441,14 @@ class BlockList:
         self.dl_offs = row.dl_offs
         self.block_lens = row.block_lens
         # float32 on disk → widen; the skip test adds a relative margin that
-        # more than covers the float32 rounding of the stored bound
-        self.max_impacts = np.asarray(row.max_impacts, dtype=np.float64)
+        # more than covers the float32 rounding of the stored bound.
+        # Bounds were computed against the avgdl at ENCODE time; if refreshes
+        # have since raised the corpus avgdl, every doc's impact grew by at
+        # most avgdl_now/enc_avgdl (sup over dl of the denominator ratio), so
+        # scaling by max(1, that ratio) keeps the bound conservative.
+        enc_avgdl = float(getattr(row, "enc_avgdl", avgdl) or avgdl)
+        scale = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
+        self.max_impacts = np.asarray(row.max_impacts, dtype=np.float64) * scale
         self.doc_blob = bytes(row.doc_blob)
         self.tf_blob = bytes(row.tf_blob)
         self.dl_blob = bytes(row.dl_blob)
@@ -477,28 +504,66 @@ def wand_shard_topk(
     ``counters`` (optional) accrues blocks_total / blocks_skipped /
     blocks_dead evidence.
     """
-    import heapq
-
-    lists: dict[str, BlockList] = {}
     wanted = set(phrase_terms)
+    by_seg: dict[int, dict[str, BlockList]] = {}
     for r in posting_rows.itertuples():
         if r.term in wanted:
-            lists[r.term] = BlockList(r)
+            seg = int(getattr(r, "segment", 0))
+            by_seg.setdefault(seg, {})[r.term] = BlockList(r, avgdl)
     terms = sorted(wanted)
-    if any(t not in lists for t in terms):
-        return None  # conjunction cannot match in this shard
 
     # per-distinct-term weight for the upper bound (phrases may repeat terms)
     w: dict[str, float] = {t: 0.0 for t in terms}
     for pi, t in enumerate(phrase_terms):
         w[t] += float(idfs[pi])
 
+    # Segments partition the doc space (a doc's postings for ALL its terms
+    # live in the segment it arrived in), so WAND runs per segment while the
+    # bounded heap — and therefore the pruning threshold — is shared.
+    heap: list[tuple[float, int]] = []  # (total, -doc_id) min-heap, size ≤ k
+    n_total = n_skipped = n_dead = 0
+    for seg in sorted(by_seg):
+        lists = by_seg[seg]
+        if any(t not in lists for t in terms):
+            continue  # no doc of this segment can hold the conjunction
+        n_seg_skip, n_seg_dead = _wand_segment(
+            lists, terms, w, phrase_terms, idfs, avgdl, k, books, heap
+        )
+        n_total += lists[min(terms, key=lambda t: lists[t].n_docs)].n_blocks
+        n_skipped += n_seg_skip
+        n_dead += n_seg_dead
+
+    if counters is not None:
+        counters["blocks_total"] = counters.get("blocks_total", 0) + n_total
+        counters["blocks_skipped"] = counters.get("blocks_skipped", 0) + n_skipped
+        counters["blocks_dead"] = counters.get("blocks_dead", 0) + n_dead
+    if not heap:
+        return None
+    doc_ids = np.array([-d for _, d in heap], dtype=np.int64)
+    scores = np.array([-t for t, _ in heap], dtype=np.float64)
+    return doc_ids, scores
+
+
+def _wand_segment(
+    lists: dict[str, "BlockList"],
+    terms: list[str],
+    w: dict[str, float],
+    phrase_terms: list[str],
+    idfs: np.ndarray,
+    avgdl: float,
+    k: int,
+    books: np.ndarray | None,
+    heap: list,
+) -> tuple[int, int]:
+    """One segment's block-max WAND pass; pushes into the shared heap.
+    Returns (blocks_skipped, blocks_dead)."""
+    import heapq
+
     pivot = min(terms, key=lambda t: lists[t].n_docs)
     others = [t for t in terms if t != pivot]
     P = len(phrase_terms)
     piv = lists[pivot]
 
-    heap: list[tuple[float, int]] = []  # (total, -doc_id) min-heap, size ≤ k
     n_skipped = n_dead = 0
     for i in range(piv.n_blocks):
         lo = piv.first_docs[i]
@@ -554,12 +619,4 @@ def wand_shard_topk(
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
 
-    if counters is not None:
-        counters["blocks_total"] = counters.get("blocks_total", 0) + piv.n_blocks
-        counters["blocks_skipped"] = counters.get("blocks_skipped", 0) + n_skipped
-        counters["blocks_dead"] = counters.get("blocks_dead", 0) + n_dead
-    if not heap:
-        return None
-    doc_ids = np.array([-d for _, d in heap], dtype=np.int64)
-    scores = np.array([-t for t, _ in heap], dtype=np.float64)
-    return doc_ids, scores
+    return n_skipped, n_dead

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .analyzer import tokenize, unicode61_tokens
-from .index_build import shard_of
+from .index_build import INDEX_FORMAT, shard_of
 from .query.parser import Node, Phrase, QuerySyntaxError, parse_query
 from .query.scorer import K1, B, bm25_scores, idf_of, score_shard, wand_shard_topk
 
@@ -42,6 +42,11 @@ class SearchEngine:
         self.spark = spark
         self.index_dir = index_dir
         st = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        fmt = st.asDict().get("format")
+        if fmt != INDEX_FORMAT:
+            raise ValueError(
+                f"index format {fmt!r} != reader format {INDEX_FORMAT}; rebuild the index"
+            )
         self.n_docs = st["n_docs"]
         self.avgdl = st["avgdl"]
         self.n_shards = st["n_shards"]

@@ -1,0 +1,121 @@
+"""Incremental refresh (segment append) + compaction correctness.
+
+An index built over the older half of the corpus (by warc_ts) then refreshed
+with the full corpus must be rank-identical to the FTS5 oracle over the FULL
+corpus — across every query shape (WAND conjunctions span segments, phrase /
+NEAR positions merge across segments, prefix expansion sees both segments'
+vocabularies). Compaction back to one segment must change nothing.
+
+Reference semantics mirrored: re-crawled urls keep their first version
+(files.path UNIQUE + DO NOTHING, /root/reference/database/database.go:46,257);
+"refresh" in the reference is a rerun (search/serializer.go) — ours appends.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfsearch_spark import corpus
+from pdfsearch_spark.index_build import build_index, compact_index, refresh_index
+from pdfsearch_spark.search import SearchEngine
+
+from conftest import N_DOCS, N_SHARDS
+
+REFRESH_INDEX_DIR = "/tmp/pdfsearch_spark_refresh_index"
+
+# one query per grammar shape (all are in the reference query set)
+SHAPES = [
+    "hypertension",          # single term (WAND)
+    "renal failure",         # conjunction (WAND, multi-segment heap)
+    "renal OR failure",      # disjunction (exhaustive fast path)
+    "failure NOT renal",     # NOT
+    '"renal failure"',       # positional phrase (segment-merged positions)
+    "data*",                 # prefix (expansion over merged vocabulary)
+    "NEAR(renal failure, 3)",
+    "^renal",
+]
+
+
+@pytest.fixture(scope="module")
+def refreshed(spark, corpus_pdf):
+    pages = corpus.web_pages_df(spark, N_DOCS, partitions=8)
+    cutoff = corpus_pdf["warc_ts"].quantile(0.5)
+    shutil.rmtree(REFRESH_INDEX_DIR, ignore_errors=True)
+    build_index(
+        spark,
+        pages.filter(F.col("warc_ts") <= F.lit(cutoff)),
+        REFRESH_INDEX_DIR,
+        n_shards=N_SHARDS,
+    )
+    metrics = refresh_index(spark, pages, REFRESH_INDEX_DIR)
+    return metrics
+
+
+def _stats(spark):
+    return spark.read.parquet(REFRESH_INDEX_DIR + "/stats").collect()[0]
+
+
+def _assert_oracle_identical(spark, oracle, queries, k=50):
+    eng = SearchEngine(spark, REFRESH_INDEX_DIR)
+    for q in queries:
+        o = sorted((r.doc_id, r.score) for r in oracle.search(q, k=k))
+        rows = eng.search(q, k=k, with_snippets=False).select("doc_id", "score").collect()
+        e = sorted((r["doc_id"], r["score"]) for r in rows)
+        assert len(o) == len(e), f"q={q!r}: oracle {len(o)} vs engine {len(e)}"
+        for (od, osc), (ed, esc) in zip(o, e):
+            assert od == ed, f"q={q!r}: doc {od} != {ed}"
+            assert abs(osc - esc) < 1e-9, f"q={q!r} doc {od}: {osc} vs {esc}"
+
+
+def test_refresh_appended_second_segment(spark, refreshed):
+    assert refreshed["appended_docs"] > 0
+    assert refreshed["segment"] == 1
+    st = _stats(spark)
+    assert st["n_segments"] == 2
+    assert st["n_docs"] == N_DOCS
+
+
+def test_refreshed_index_rank_identical(spark, oracle, refreshed):
+    _assert_oracle_identical(spark, oracle, SHAPES)
+
+
+def test_refresh_is_idempotent_noop_when_current(spark, refreshed):
+    pages = corpus.web_pages_df(spark, N_DOCS, partitions=8)
+    again = refresh_index(spark, pages, REFRESH_INDEX_DIR)
+    assert again["appended_docs"] == 0
+    assert _stats(spark)["n_segments"] == 2
+
+
+def test_recrawled_url_keeps_first_version(spark, refreshed):
+    """A later re-crawl of an existing url must be dropped (DO NOTHING)."""
+    pages = corpus.web_pages_df(spark, N_DOCS, partitions=8)
+    recrawl = (
+        pages.limit(3)
+        .withColumn("warc_ts", F.expr("warc_ts + INTERVAL 400 DAYS"))
+        .withColumn("html", F.lit(b"<html><body><p>changed content</p></body></html>"))
+    )
+    res = refresh_index(spark, recrawl, REFRESH_INDEX_DIR)
+    assert res["appended_docs"] == 0
+    st = _stats(spark)
+    assert st["n_docs"] == N_DOCS
+    # watermark unchanged: nothing committed
+    assert st["n_segments"] == 2
+
+
+def test_compaction_preserves_results(spark, oracle, refreshed):
+    res = compact_index(spark, REFRESH_INDEX_DIR)
+    assert res["compacted"] is True
+    st = _stats(spark)
+    assert st["n_segments"] == 1
+    assert st["n_docs"] == N_DOCS
+    segs = (
+        spark.read.parquet(REFRESH_INDEX_DIR + "/postings")
+        .select("segment")
+        .distinct()
+        .collect()
+    )
+    assert [r["segment"] for r in segs] == [0]
+    _assert_oracle_identical(spark, oracle, SHAPES)
