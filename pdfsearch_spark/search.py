@@ -343,10 +343,15 @@ class SearchEngine:
             )
 
         # ONE dictionary lookup for every query's terms + prefix expansions
+        # (df comes along for free → a-priori idfs for the WAND-able queries)
         cond = F.col("term").isin(sorted(all_terms)) if all_terms else F.lit(False)
         for pref in prefixes:
             cond = cond | F.col("term").startswith(pref)
-        vocab = [r["term"] for r in self._term_stats.filter(cond).select("term").collect()]
+        df_map = {
+            r["term"]: int(r["df"])
+            for r in self._term_stats.filter(cond).select("term", "df").collect()
+        }
+        vocab = list(df_map)
         expansions_by_q: dict[int, dict[int, list[str]]] = {}
         needed: set[str] = set(all_terms)
         for qid, _tree, phrases in parsed:
@@ -358,15 +363,51 @@ class SearchEngine:
             expansions_by_q[qid] = exp
 
         postings = self._postings.filter(F.col("term").isin(sorted(needed)))
-        plan = [
-            (qid, tree, phrases, expansions_by_q[qid], len(phrases))
-            for qid, tree, phrases in parsed
-        ]
+        # plan entry: (qid, tree, phrases, expansions, P, wand_idfs|None) —
+        # pure conjunctions of plain terms run block-max WAND per shard and
+        # emit only their per-shard top-k (scored); the rest emit matches +
+        # df sentinels and score in the codegen'd expression below.
+        plan = []
+        for qid, tree, phrases in parsed:
+            fast = all(
+                len(p.terms) == 1 and not p.prefix and not p.anchored
+                and p.col != "unindexed"
+                for p in phrases
+            ) and tree_is_pure_and(tree)
+            wand_idfs = (
+                np.array(
+                    [idf_of(df_map.get(p.terms[0], 0), self.n_docs) for p in phrases]
+                )
+                if fast
+                else None
+            )
+            plan.append((qid, tree, phrases, expansions_by_q[qid], len(phrases), wand_idfs))
         n_docs, avgdl = self.n_docs, self.avgdl
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             outs = []
-            for qid, tree, phrases, exp, P in plan:
+            for qid, tree, phrases, exp, P, wand_idfs in plan:
+                if wand_idfs is not None:
+                    res = wand_shard_topk(
+                        pdf, [p.terms[0] for p in phrases], wand_idfs, avgdl, k
+                    )
+                    if res is None:
+                        continue
+                    doc_ids, scores = res
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.int32(qid),
+                                "doc_id": doc_ids,
+                                "dl": np.int64(0),
+                                "vis": [None] * len(doc_ids),
+                                "dfs": [None] * len(doc_ids),
+                                "is_stats": False,
+                                "score": scores,
+                            }
+                        )
+                    )
+                    continue
                 res = score_shard(pdf, tree, phrases, exp, n_docs, avgdl, None, 0)
                 if res is None:
                     continue
@@ -379,6 +420,7 @@ class SearchEngine:
                         "vis": list(mvis),
                         "dfs": [None] * len(matched),
                         "is_stats": False,
+                        "score": np.nan,
                     }
                 )
                 stats = pd.DataFrame(
@@ -389,6 +431,7 @@ class SearchEngine:
                         "vis": [None],
                         "dfs": [[int(local_dfs.get(i, 0)) for i in range(P)]],
                         "is_stats": True,
+                        "score": np.nan,
                     }
                 )
                 outs.append(rows)
@@ -402,6 +445,7 @@ class SearchEngine:
                         "vis": pd.Series(dtype="object"),
                         "dfs": pd.Series(dtype="object"),
                         "is_stats": pd.Series(dtype="bool"),
+                        "score": pd.Series(dtype="float64"),
                     }
                 )
             return pd.concat(outs, ignore_index=True)
@@ -410,7 +454,7 @@ class SearchEngine:
             fn,
             schema=(
                 "query_id int, doc_id long, dl long, vis array<long>, "
-                "dfs array<long>, is_stats boolean"
+                "dfs array<long>, is_stats boolean, score double"
             ),
         )
         matched = matched.persist()
@@ -427,7 +471,8 @@ class SearchEngine:
                 dfs_by_q.setdefault(r["query_id"], {})[r["pos"]] = int(r["df"])
             idf_rows = [
                 (qid, [idf_of(dfs_by_q.get(qid, {}).get(i, 0), n_docs) for i in range(P)])
-                for qid, _t, _p, _e, P in plan
+                for qid, _t, _p, _e, P, wand_idfs in plan
+                if wand_idfs is None
             ]
             idf_df = self.spark.createDataFrame(
                 idf_rows, schema="query_id int, idfs array<double>"
@@ -445,8 +490,9 @@ class SearchEngine:
             )
             out = (
                 matched.filter(~F.col("is_stats"))
-                .join(F.broadcast(idf_df), "query_id")
-                .withColumn("score", F.expr(score_expr))
+                .join(F.broadcast(idf_df), "query_id", "left")
+                # WAND rows arrive pre-scored; sentinel-path rows score here
+                .withColumn("score", F.coalesce(F.col("score"), F.expr(score_expr)))
                 .select("query_id", "doc_id", "score")
                 .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
