@@ -316,20 +316,26 @@ def build_index(
         "segment", "shard"
     ).mode("overwrite").parquet(os.path.join(out_dir, "doc_text"))
 
-    # Corpus stats: N counts every row (FTS5 includes zero-token docs in N
-    # and avgdl).
-    stats_row = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-        F.max("warc_ts").alias("watermark"),
-    ).collect()[0]
-    n_docs, avgdl, total_tokens = (
-        stats_row["n_docs"],
-        float(stats_row["avgdl"] or 0.0),
-        stats_row["total_tokens"] or 0,
-    )
-    watermark = stats_row["watermark"]
+    # Per-shard lineage (input fingerprint + token counts) and the global
+    # corpus stats come from ONE agg over the persisted extraction — the
+    # global N/avgdl/watermark (FTS5 includes zero-token docs in N and
+    # avgdl) are just the driver-side fold of the per-shard rows.
+    lineage = {
+        r["shard"]: r
+        for r in docs.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(doc_id)").alias("docs_fingerprint"),
+            F.sum("dl").alias("n_tokens"),
+            F.max("warc_ts").alias("watermark"),
+        )
+        .collect()
+    }
+    n_docs = sum(r["n_docs"] for r in lineage.values())
+    total_tokens = sum(r["n_tokens"] or 0 for r in lineage.values())
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    wms = [r["watermark"] for r in lineage.values() if r["watermark"] is not None]
+    watermark = max(wms) if wms else None
 
     rows = term_rows(docs)
     if only_shards is not None:
@@ -364,12 +370,6 @@ def build_index(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
     term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
-    n_postings = (
-        spark.read.parquet(os.path.join(out_dir, "term_stats"))
-        .agg(F.sum("df"))
-        .collect()[0][0]
-        or 0
-    )
     docs.unpersist()
 
     _write_stats(spark, out_dir, n_docs, avgdl, total_tokens, n_shards, 1, watermark)
@@ -377,23 +377,12 @@ def build_index(
     elapsed = time.time() - t0
     # Per-shard lineage + metrics manifest (north_rule checkpoint clause):
     # lineage = per-shard input fingerprint (doc count + bit_xor of doc_ids —
-    # order-independent, cheap, no blob reads) from the documents table;
-    # metrics = encode time / posting count / compressed bytes measured
-    # inside the encode UDF via accumulator.
+    # order-independent, cheap, no blob reads), computed in the single
+    # corpus-stats agg above; metrics = encode time / posting count /
+    # compressed bytes measured inside the encode UDF via accumulator.
     built = only_shards if only_shards is not None else list(range(n_shards))
-    lineage = {
-        r["shard"]: r
-        for r in spark.read.parquet(os.path.join(out_dir, "documents"))
-        .filter(F.col("shard").isin(built))
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.expr("bit_xor(doc_id)").alias("docs_fingerprint"),
-            F.sum("dl").alias("n_tokens"),
-        )
-        .collect()
-    }
     sm = dict(shard_metrics_acc.value)
+    n_postings = int(sum(v[1] for v in sm.values()))
     zero = [0.0, 0, 0, 0, 0]
     rows_out = []
     for s in built:
@@ -492,7 +481,12 @@ def resume_build(
     return build_index(spark, pages, out_dir, n_shards, only_shards=missing)
 
 
-def refresh_index(spark: SparkSession, pages: DataFrame, out_dir: str) -> dict:
+def refresh_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    use_watermark: bool = True,
+) -> dict:
     """Incremental batch append over new ``warc_ts`` ranges (SURVEY.md §2.8:
     the reference's "refresh" is a rerun; ours is a Lucene/Iceberg-style
     segment append — no existing postings are rewritten).
@@ -513,6 +507,12 @@ def refresh_index(spark: SparkSession, pages: DataFrame, out_dir: str) -> dict:
 
     Re-crawled urls keep their first version (reference semantics:
     ``files.path UNIQUE`` + INSERT DO NOTHING, database/database.go:46,257).
+
+    ``use_watermark=False`` skips the warc_ts pre-filter and relies solely on
+    the doc-id anti-join — for callers whose batches do not arrive in
+    timestamp order (e.g. the Structured Streaming wrapper, whose source
+    checkpoint already guarantees each batch is delivered once); the
+    anti-join is then the MERGE predicate and the watermark only advances.
     """
     t0 = time.time()
     st = spark.read.parquet(os.path.join(out_dir, "stats")).collect()[0]
@@ -525,7 +525,7 @@ def refresh_index(spark: SparkSession, pages: DataFrame, out_dir: str) -> dict:
     watermark = st["watermark"]
 
     new_pages = pages
-    if watermark is not None:
+    if use_watermark and watermark is not None:
         new_pages = pages.filter(F.col("warc_ts") > F.lit(watermark))
     docs = extract_documents(new_pages, n_shards).dropDuplicates(["doc_id"])
     # committed docs only (segment < seg): a crashed attempt's orphan
@@ -628,10 +628,13 @@ def refresh_index(spark: SparkSession, pages: DataFrame, out_dir: str) -> dict:
     docs.unpersist()
 
     # 5) COMMIT: stats last — new watermark + segment count become visible
-    #    only once every data partition for the segment is in place
-    _write_stats(
-        spark, out_dir, n_docs2, avgdl2, total2, n_shards, seg + 1, agg["new_wm"]
-    )
+    #    only once every data partition for the segment is in place.
+    #    The watermark only ever advances (out-of-order batches must not
+    #    regress it).
+    new_wm = agg["new_wm"]
+    if watermark is not None and (new_wm is None or new_wm < watermark):
+        new_wm = watermark
+    _write_stats(spark, out_dir, n_docs2, avgdl2, total2, n_shards, seg + 1, new_wm)
     elapsed = time.time() - t0
     return {
         "appended_docs": n_new,
