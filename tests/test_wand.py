@@ -142,6 +142,59 @@ def test_wand_actually_prunes(shard):
     assert skipped > counters["blocks_total"] * 0.3, counters
 
 
+def test_wand_randomized_multisegment_ab():
+    """Seeded sweep: random term sets, overlaps, ks, and SEGMENTED posting
+    frames (disjoint doc ranges per segment, as refresh produces) must match
+    brute force exactly — shared-heap-across-segments included."""
+    rng = np.random.Generator(np.random.Philox(key=[23, 1]))
+    for trial in range(12):
+        n_terms = int(rng.integers(1, 4))
+        n_segs = int(rng.integers(1, 4))
+        # global doc universe, segments = disjoint contiguous ranges
+        seg_bounds = np.sort(rng.choice(np.arange(1, 10**6), size=n_segs - 1, replace=False)) if n_segs > 1 else np.array([], dtype=np.int64)
+        bounds = np.concatenate([[0], seg_bounds, [10**6]]).astype(np.int64)
+        raw = {}  # term -> (docs, tfs, dls) global
+        rows = []
+        names = [f"t{j}" for j in range(n_terms)]
+        shared = np.sort(
+            rng.choice(np.arange(1, 10**6, dtype=np.int64),
+                       size=int(rng.integers(50, 400)), replace=False)
+        )  # ensure the conjunction has matches
+        for term in names:
+            df = int(rng.integers(100, 2500))
+            own = rng.choice(np.arange(1, 10**6, dtype=np.int64), size=df, replace=False)
+            docs = np.unique(np.concatenate([own, shared]))
+            tfs = rng.integers(1, 9, size=len(docs), dtype=np.int64)
+            # dl is a doc property: derive from the doc id so it is
+            # consistent across terms (brute-force parity)
+            dls = (docs % 300 + 20).astype(np.int64)
+            raw[term] = (docs, tfs, dls)
+            for s in range(n_segs):
+                m = (docs >= bounds[s]) & (docs < bounds[s + 1])
+                if not m.any():
+                    continue
+                enc = encode_postings(
+                    docs[m], tfs[m], dls[m],
+                    [np.arange(t, dtype=np.int64) for t in tfs[m]], AVGDL,
+                )
+                enc["term"] = term
+                enc["segment"] = s
+                rows.append(enc)
+        pdf = pd.DataFrame(rows)
+        phrase_terms = [names[int(rng.integers(0, n_terms))] for _ in range(int(rng.integers(1, 4)))]
+        k = int(rng.integers(1, 300))
+        idfs = np.array([idf_of(len(raw[t][0]), N_DOCS * 50) for t in phrase_terms])
+        res = wand_shard_topk(pdf, phrase_terms, idfs, AVGDL, k)
+        exp = _brute_topk(raw, phrase_terms, idfs, k)
+        assert (res is None) == (exp is None), f"trial {trial}"
+        if res is None:
+            continue
+        got_docs, got_scores = res
+        order = np.lexsort((got_docs, got_scores))
+        assert (got_docs[order] == exp[0]).all(), f"trial {trial}"
+        assert (got_scores[order] == exp[1]).all(), f"trial {trial}"
+
+
 def test_wand_dead_blocks_skip_decode():
     """Disjoint doc-id ranges: every pivot block is dead (no overlapping
     block of the other term) — zero decodes, None result."""
