@@ -281,6 +281,14 @@ def build_index(
     to the given shards (documents/stats stages are idempotent overwrites).
     """
     t0 = time.time()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _phase(name: str) -> None:
+        now = time.time()
+        phases[name] = round(now - _last[0], 2)
+        _last[0] = now
+
     if only_shards is None:
         # Fresh build: clear prior table dirs. Dynamic partition overwrite
         # (needed for resume/refresh) only replaces partitions present in the
@@ -288,21 +296,24 @@ def build_index(
         # shard/segment partitions behind.
         for sub in ("postings", "doc_text", "documents"):
             _hdfs_rm(spark, os.path.join(out_dir, sub))
-    # The dedup shuffle is tiny in bytes, so AQE coalesces it to a handful of
-    # partitions — and that post-shuffle partitioning would be inherited by
-    # the persisted cache, serializing every CPU-heavy pandas-UDF consumer
-    # below (observed 4-5 tasks on 32 cores). Re-spread explicitly: bytes are
-    # the wrong currency for Python-bound stages.
-    n_spread = max(n_shards, spark.sparkContext.defaultParallelism * 2)
-    docs = extract_documents(pages, n_shards).dropDuplicates(["doc_id"]).repartition(n_spread)
-    # One extraction pass feeds documents, doc_text, stats AND the term-row
-    # shuffle below; persist to avoid re-extracting per consumer.
+    # ONE full-text shuffle for the whole build: extraction runs narrow at
+    # the source's parallelism, then rows move once, clustered by shard.
+    # Because doc_id determines shard, url-duplicates land in the same
+    # partition and dedup is partition-local — no dropDuplicates shuffle by
+    # doc_id, and the doc_text write below needs no repartition either (each
+    # task already holds exactly one shard → one file per shard partition).
+    docs = _dedup_within_shard(
+        extract_documents(pages, n_shards).repartition(n_shards, F.col("shard"))
+    )
+    # One extraction+shuffle pass feeds documents, doc_text, stats AND the
+    # term-row shuffle below; persist to avoid re-extracting per consumer.
     docs.persist()
 
     meta = docs.drop("text", "part").withColumn("segment", F.lit(0))
     meta.write.partitionBy("segment").mode("overwrite").parquet(
         os.path.join(out_dir, "documents")
     )
+    _phase("extract_and_documents")
 
     doc_text = docs.select("shard", "doc_id", "part", "text").withColumn(
         "segment", F.lit(0)
@@ -312,9 +323,10 @@ def build_index(
     # Cluster rows by shard before the partitioned write: from P upstream
     # partitions x S shards, an unclustered write emits P*S tiny files (and
     # P*S committer round-trips); clustered, it's ~one file per shard.
-    doc_text.repartition(n_shards, F.col("shard")).write.partitionBy(
-        "segment", "shard"
-    ).mode("overwrite").parquet(os.path.join(out_dir, "doc_text"))
+    doc_text.write.partitionBy("segment", "shard").mode("overwrite").parquet(
+        os.path.join(out_dir, "doc_text")
+    )
+    _phase("doc_text_write")
 
     # Per-shard lineage (input fingerprint + token counts) and the global
     # corpus stats come from ONE agg over the persisted extraction — the
@@ -336,6 +348,7 @@ def build_index(
     avgdl = total_tokens / n_docs if n_docs else 0.0
     wms = [r["watermark"] for r in lineage.values() if r["watermark"] is not None]
     watermark = max(wms) if wms else None
+    _phase("stats_lineage_agg")
 
     rows = term_rows(docs)
     if only_shards is not None:
@@ -359,6 +372,7 @@ def build_index(
         )
     finally:
         spark.conf.set(coalesce_key, prev)
+    _phase("postings_shuffle_encode_write")
 
     # Global df/cf per term (for idf at query time) from the postings table
     # itself — a column-pruned scan of (term, df, cf), never touching the
@@ -370,6 +384,7 @@ def build_index(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
     term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
+    _phase("term_stats")
     docs.unpersist()
 
     _write_stats(spark, out_dir, n_docs, avgdl, total_tokens, n_shards, 1, watermark)
@@ -418,11 +433,35 @@ def build_index(
         "n_postings": int(n_postings),
         "n_shards": n_shards,
         "elapsed_sec": elapsed,
+        "phase_sec": phases,
         "docs_per_sec": int(n_docs) / elapsed if elapsed > 0 else 0.0,
         "postings_per_sec": int(n_postings) / elapsed if elapsed > 0 else 0.0,
         "postings_bytes": int(sum(v[3] for v in sm.values())),
         "positions_bytes": int(sum(v[4] for v in sm.values())),
     }
+
+
+def _dedup_within_shard(docs: DataFrame) -> DataFrame:
+    """Drop url-duplicates (same doc_id) within shard-clustered partitions.
+
+    Valid only AFTER a repartition on ``shard``: doc_id → shard is a pure
+    function, so every duplicate is in the same partition and a per-partition
+    seen-set gives global dedup without a by-doc_id shuffle. The seen-set is
+    O(docs per shard-partition); size ``n_shards`` so a shard's ids fit an
+    executor (at 10^12 docs and 1M-doc partitions that is ~60 MB — or swap in
+    a sort-within-partition dedup). Which copy of a duplicated url survives
+    is arbitrary, matching the reference's INSERT .. DO NOTHING semantics
+    (database/database.go:152-176)."""
+
+    def fn(it):
+        seen: set[int] = set()
+        for pdf in it:
+            m = (~pdf["doc_id"].duplicated()) & (~pdf["doc_id"].isin(seen))
+            out = pdf[m]
+            seen.update(out["doc_id"].tolist())
+            yield out
+
+    return docs.mapInPandas(fn, schema=DOCROW_SCHEMA)
 
 
 def _hdfs_rm(spark: SparkSession, path: str) -> None:
