@@ -139,7 +139,7 @@ def extract_documents(pages: DataFrame, n_shards: int) -> DataFrame:
     """
 
     def batches(it):
-        from .analyzer import tokenize
+        from .analyzer import token_count
         from .extract import extract_text
         from .fnv import fnv1_64_signed
 
@@ -157,7 +157,7 @@ def extract_documents(pages: DataFrame, n_shards: int) -> DataFrame:
                     "base_name": [u.rsplit("/", 1)[-1] for u in urls],
                     "warc_ts": pdf["warc_ts"],
                     "lang": pdf["lang"],
-                    "dl": [len(tokenize(t)) for t in texts],
+                    "dl": [token_count(t) for t in texts],
                     "shard": shard_of_array(doc_ids, n_shards),
                     "part": 0,
                     "text": texts,

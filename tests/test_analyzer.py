@@ -60,3 +60,18 @@ def test_per_doc_token_multiset(corpus_pdf, oracle):
         want = Counter(oracle.doc_terms(doc_id))
         got = Counter(tokenize(text))
         assert got == want, f"doc {url}: multiset mismatch"
+
+
+def test_token_count_matches_tokenize():
+    from pdfsearch_spark.analyzer import token_count, tokenize
+
+    cases = [
+        "",
+        "Café au lait, s'il vous plaît!",
+        "running runs runner 123 foo-bar",
+        "coöperate naïve Zürich\nsecond line\t tabs",
+        "†‡• only-seps ———",
+        "mixed ASCII và tiếng Việt 漢字 кирилица",
+    ]
+    for s in cases:
+        assert token_count(s) == len(tokenize(s)), repr(s)
