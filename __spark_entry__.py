@@ -39,10 +39,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _docs_par(spark, sf_dir):
+    """documents at compute parallelism (see _docs_aug: the testdata parquet
+    is 1-2 files; CPU-bound UDF/codegen stages need task-count > file-count)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def _docs_aug(spark, sf_dir):
     """documents + a near-duplicate of each doc (last word dropped,
-    doc_id + 1000000) — gives dedup ops real duplicate structure."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doc_id + 1000000) — gives dedup ops real duplicate structure.
+
+    The testdata parquet is a handful of files, so without a repartition the
+    CPU-heavy codegen stages downstream (per-shingle md5, simhash sums, ...)
+    would run at file-count parallelism (observed: 2 tasks on 32 cores —
+    bytes are the wrong currency for CPU-bound string stages). Production
+    tables have file count >> cores and would skip this."""
+    par = spark.sparkContext.defaultParallelism
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(par)
     mut = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr(
@@ -298,32 +314,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- text analysis (pipeline.textstats) ----
 
     def q_lang_id(spark, sf):
-        return textstats.lang_id(_t(spark, sf, "documents"))
+        return textstats.lang_id(_docs_par(spark, sf))
 
     def q_quality(spark, sf):
-        return textstats.quality_scores(_t(spark, sf, "documents"))
+        return textstats.quality_scores(_docs_par(spark, sf))
 
     def q_token_counts(spark, sf):
-        return textstats.token_counts(_t(spark, sf, "documents"))
+        return textstats.token_counts(_docs_par(spark, sf))
 
     def q_fingerprints(spark, sf):
-        return textstats.fingerprints(_t(spark, sf, "documents"))
+        return textstats.fingerprints(_docs_par(spark, sf))
 
     def q_winnow(spark, sf):  # rows-only: sequential rolling hash, no SQL analog
-        return textstats.winnow_fingerprints(_t(spark, sf, "documents"))
+        return textstats.winnow_fingerprints(_docs_par(spark, sf))
 
     # ---- multimodal plumbing (rows-only: binary columns) ----
 
     def q_media_meta(spark, sf):
         from pdfsearch_spark.pipeline import multimodal
 
-        m = multimodal.attach_media(_t(spark, sf, "documents"))
+        m = multimodal.attach_media(_docs_par(spark, sf))
         return m.select("doc_id", "media_type", "n_bytes", "checksum")
 
     def q_media_features(spark, sf):  # rows-only: array<double> features
         from pdfsearch_spark.pipeline import multimodal
 
-        m = multimodal.attach_media(_t(spark, sf, "documents"))
+        m = multimodal.attach_media(_docs_par(spark, sf))
         return multimodal.byte_histogram_features(m)
 
     # ---- the real FTS engine (rows-only; FTS5 semantics, tested in tests/) ----
