@@ -72,6 +72,20 @@ TERMROW_SCHEMA = StructType(
     ]
 )
 
+# doc-grouped variant: ONE row per doc through the wide shuffle (arrays of
+# per-term data) instead of ~|vocab per doc| tiny rows — same bytes, ~100x
+# fewer per-row Arrow/Tungsten fixed costs on both sides of the exchange
+DOC_TERMS_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("doc_id", LongType()),
+        StructField("dl", IntegerType()),
+        StructField("terms", ArrayType(StringType())),
+        StructField("tfs", ArrayType(IntegerType())),
+        StructField("positions", ArrayType(ArrayType(IntegerType()))),
+    ]
+)
+
 DOCROW_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -168,16 +182,18 @@ def extract_documents(pages: DataFrame, n_shards: int) -> DataFrame:
 
 
 def term_rows(docs: DataFrame) -> DataFrame:
-    """Stage 2 (narrow): per-doc term aggregation inside the UDF — emits one
-    row per distinct (doc, term) with tf, dl and token positions. This is the
-    map-side combine that keeps the single wide shuffle at (doc,term) grain.
+    """Stage 2 (narrow): per-doc term aggregation inside the UDF — one row
+    per DOC with per-term arrays (term, tf, positions). This is the map-side
+    combine; grouping by doc rather than emitting a row per (doc, term)
+    keeps the wide shuffle at ~1/100th the row count for the same bytes.
     """
 
     def batches(it):
         from .analyzer import tokenize
 
         for pdf in it:
-            out_shard, out_doc, out_term, out_tf, out_dl, out_pos = [], [], [], [], [], []
+            out_shard, out_doc, out_dl = [], [], []
+            out_terms, out_tfs, out_pos = [], [], []
             for shard, doc_id, text in zip(pdf["shard"], pdf["doc_id"], pdf["text"]):
                 toks = tokenize(text)
                 if not toks:
@@ -185,26 +201,24 @@ def term_rows(docs: DataFrame) -> DataFrame:
                 agg: dict[str, list[int]] = {}
                 for pos, t in enumerate(toks):
                     agg.setdefault(t, []).append(pos)
-                dl = len(toks)
-                for t, poss in agg.items():
-                    out_shard.append(shard)
-                    out_doc.append(doc_id)
-                    out_term.append(t)
-                    out_tf.append(len(poss))
-                    out_dl.append(dl)
-                    out_pos.append(poss)
+                out_shard.append(shard)
+                out_doc.append(doc_id)
+                out_dl.append(len(toks))
+                out_terms.append(list(agg.keys()))
+                out_tfs.append([len(p) for p in agg.values()])
+                out_pos.append(list(agg.values()))
             yield pd.DataFrame(
                 {
                     "shard": pd.Series(out_shard, dtype="int32"),
                     "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "term": out_term,
-                    "tf": pd.Series(out_tf, dtype="int32"),
                     "dl": pd.Series(out_dl, dtype="int32"),
+                    "terms": out_terms,
+                    "tfs": out_tfs,
                     "positions": out_pos,
                 }
             )
 
-    return docs.select("shard", "doc_id", "text").mapInPandas(batches, schema=TERMROW_SCHEMA)
+    return docs.select("shard", "doc_id", "text").mapInPandas(batches, schema=DOC_TERMS_SCHEMA)
 
 
 class _ShardMetricsParam(AccumulatorParam):
@@ -240,15 +254,46 @@ def encode_shard_postings(avgdl: float, metrics_acc=None, segment: int = 0):
             return pd.DataFrame(columns=[f.name for f in POSTING_SCHEMA.fields])
         t0 = time.perf_counter()
         shard = int(pdf["shard"].iloc[0])
-        pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
-        cols = encode_shard_frame(
-            pdf["term"].to_numpy(),
-            pdf["doc_id"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["dl"].to_numpy(np.int64),
-            pdf["positions"].tolist(),
-            avgdl,
-        )
+        if "terms" in pdf.columns:
+            # doc-grouped input (term_rows): flatten per-doc arrays, then one
+            # lexsort by (term, doc_id) — replaces a 100x-larger row-at-a-time
+            # pandas sort
+            from itertools import chain
+
+            lens = np.fromiter(
+                (len(t) for t in pdf["terms"]), dtype=np.int64, count=len(pdf)
+            )
+            doc_flat = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+            dl_flat = np.repeat(pdf["dl"].to_numpy(np.int64), lens)
+            terms_flat = np.fromiter(
+                chain.from_iterable(pdf["terms"]), dtype=object, count=int(lens.sum())
+            )
+            tf_flat = np.fromiter(
+                chain.from_iterable(pdf["tfs"]), dtype=np.int64, count=int(lens.sum())
+            )
+            pos_flat = list(chain.from_iterable(pdf["positions"]))
+            order = np.lexsort((doc_flat, terms_flat))
+            cols = encode_shard_frame(
+                terms_flat[order],
+                doc_flat[order],
+                tf_flat[order],
+                dl_flat[order],
+                [pos_flat[i] for i in order],
+                avgdl,
+            )
+            n_postings = int(lens.sum())
+        else:
+            # flat (term-major) input — the compaction path (decoded_term_rows)
+            pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
+            cols = encode_shard_frame(
+                pdf["term"].to_numpy(),
+                pdf["doc_id"].to_numpy(np.int64),
+                pdf["tf"].to_numpy(np.int64),
+                pdf["dl"].to_numpy(np.int64),
+                pdf["positions"].tolist(),
+                avgdl,
+            )
+            n_postings = len(pdf)
         out = pd.DataFrame(cols)
         out.insert(0, "shard", shard)
         out.insert(0, "segment", np.int32(segment))
@@ -261,7 +306,7 @@ def encode_shard_postings(avgdl: float, metrics_acc=None, segment: int = 0):
             )
             qbytes = int(sum(len(b) for b in cols["pos_blob"]))
             metrics_acc.add(
-                {shard: [time.perf_counter() - t0, len(pdf), len(out), pbytes, qbytes]}
+                {shard: [time.perf_counter() - t0, n_postings, len(out), pbytes, qbytes]}
             )
         return out[[f.name for f in POSTING_SCHEMA.fields]]
 
