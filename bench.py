@@ -413,8 +413,9 @@ achievable scaling the FULL build (including its one wide shuffle, the
 partitioned writes, and all driver work) actually delivers. This is the
 number comparable to the >= 0.8 target on real N -> 4N executor clusters
 where executors have dedicated cores; everything the full build loses
-relative to the representative kernel is pipeline overhead we own, and that
-loss is {round((1 - eff / rep_ceiling) * 100, 1)}%.
+relative to the representative kernel is pipeline overhead we own
+({round(max(0.0, (1 - eff / rep_ceiling)) * 100, 1)}% this draw; single draws
+swing with shared-host noise — judge the run history below).
 
 Method: each config runs in its own process pinned with `taskset` (local[8]
 on cores 0-7) so JVM helper threads cannot borrow idle cores; job layout
