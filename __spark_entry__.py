@@ -388,7 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- FTS demo
 
-_FTS_INDEX_DIR = "/tmp/spark_entry_fts_index_v3"  # version-keyed: format bumps rebuild
+_FTS_INDEX_DIR = "/tmp/spark_entry_fts_index_v4"  # version-keyed: format bumps rebuild
 _FTS_N = 200
 
 

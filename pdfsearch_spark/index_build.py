@@ -59,7 +59,7 @@ SHARD_DEFAULT = 32
 
 # On-disk index format version (bumped on any postings/stats schema change);
 # readers refuse a mismatched index instead of misreading it.
-INDEX_FORMAT = 3
+INDEX_FORMAT = 4
 
 TERMROW_SCHEMA = StructType(
     [
@@ -354,13 +354,18 @@ def build_index(
     # term-row shuffle below; persist to avoid re-extracting per consumer.
     docs.persist()
 
+    # documents partitioned by (segment, shard) like every other table:
+    # result-assembly point lookups know shard_of(doc_id), so they prune to
+    # one partition dir instead of scanning the whole doc catalog
     meta = docs.drop("text", "part").withColumn("segment", F.lit(0))
-    meta.write.partitionBy("segment").mode("overwrite").parquet(
+    meta.write.partitionBy("segment", "shard").mode("overwrite").parquet(
         os.path.join(out_dir, "documents")
     )
     _phase("extract_and_documents")
 
-    doc_text = docs.select("shard", "doc_id", "part", "text").withColumn(
+    # base_name travels with the text so the snippet path's single point
+    # lookup covers every display field (no second job against documents)
+    doc_text = docs.select("shard", "doc_id", "part", "base_name", "text").withColumn(
         "segment", F.lit(0)
     )
     if only_shards is not None:
@@ -653,13 +658,13 @@ def refresh_index(
         spark.conf.set(coalesce_key, prev)
 
     # 2) doc_text + documents partitions for the segment
-    docs.select("shard", "doc_id", "part", "text").withColumn(
+    docs.select("shard", "doc_id", "part", "base_name", "text").withColumn(
         "segment", F.lit(seg)
     ).repartition(n_shards, F.col("shard")).write.partitionBy(
         "segment", "shard"
     ).mode("overwrite").parquet(os.path.join(out_dir, "doc_text"))
     docs.drop("text", "part").withColumn("segment", F.lit(seg)).write.partitionBy(
-        "segment"
+        "segment", "shard"
     ).mode("overwrite").parquet(os.path.join(out_dir, "documents"))
 
     # 3) global term stats recomputed from the postings table (column-pruned
@@ -784,7 +789,10 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         )
     finally:
         spark.conf.set(coalesce_key, prev)
-    for tbl, parts in (("doc_text", ("segment", "shard")), ("documents", ("segment",))):
+    for tbl, parts in (
+        ("doc_text", ("segment", "shard")),
+        ("documents", ("segment", "shard")),
+    ):
         df = spark.read.parquet(os.path.join(out_dir, tbl)).withColumn(
             "segment", F.lit(0)
         )

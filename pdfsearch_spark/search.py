@@ -132,36 +132,38 @@ class SearchEngine:
         if not topk_rows:
             return spark.createDataFrame([], schema=RESULT_SCHEMA)
 
-        # Result assembly over ≤k rows. The scale-correct shape is point
-        # lookups with literal id filters — pushed down to parquet (shard
-        # partition pruning on doc_text, row-group stats pruning on doc_id)
-        # — never a join whose OTHER side is a full table scan: broadcasting
-        # `documents` or shuffling `doc_text` against a ≤200-row result is
-        # exactly the plan that dies at 10^12 docs.
+        # Result assembly over ≤k rows in ONE point-lookup job. Literal id +
+        # shard filters push down to parquet (partition pruning on shard,
+        # row-group stats pruning on doc_id) — never a join whose OTHER side
+        # is a full table scan: broadcasting `documents` or shuffling
+        # `doc_text` against a ≤200-row result is exactly the plan that dies
+        # at 10^12 docs. The snippet path reads doc_text (which carries
+        # base_name precisely so this stays one lookup); the no-snippet path
+        # reads the narrow documents table instead.
         ids = [int(r["doc_id"]) for r in topk_rows]
         scores = [float(r["score"]) for r in topk_rows]
-        meta = {
-            int(r["doc_id"]): r["base_name"]
-            for r in self._documents.filter(F.col("doc_id").isin(ids))
-            .select("doc_id", "base_name")
-            .collect()
-        }
+        shards = sorted({shard_of(i, self.n_shards) for i in ids})
+        pruned = F.col("shard").isin(shards) & F.col("doc_id").isin(ids)
         if with_snippets:
-            shards = sorted({shard_of(i, self.n_shards) for i in ids})
-            texts = {
-                int(r["doc_id"]): r["text"]
-                for r in self._doc_text.filter(
-                    F.col("shard").isin(shards) & F.col("doc_id").isin(ids)
-                )
-                .select("doc_id", "text")
+            rows = (
+                self._doc_text.filter(pruned)
+                .select("doc_id", "base_name", "text")
                 .collect()
-            }
+            )
+            meta = {int(r["doc_id"]): r["base_name"] for r in rows}
+            texts = {int(r["doc_id"]): r["text"] for r in rows}
             # snippets are a ≤k-row presentation concern — driver-side pandas,
             # not a cluster stage (reference computes them per emitted row too)
             titles, bodies = self._snippet_pair(
                 [texts.get(i, "") for i in ids], phrases, expansions
             )
         else:
+            meta = {
+                int(r["doc_id"]): r["base_name"]
+                for r in self._documents.filter(pruned)
+                .select("doc_id", "base_name")
+                .collect()
+            }
             titles = [""] * len(ids)
             bodies = [""] * len(ids)
         out_pdf = pd.DataFrame(
