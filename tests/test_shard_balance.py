@@ -1,0 +1,56 @@
+"""Skew evidence: Zipf-head terms must NOT skew shard sizes.
+
+north_rule "skew-aware splitting of head terms": we shard by doc id, so every
+term's postings — including the corpus's engineered high-df head term
+(corpus.py vocab[0], present in ~every doc) — split evenly across all shards
+by construction. The _build_state manifest records per-shard posting counts
+and bytes; assert the spread is tight.
+"""
+
+from __future__ import annotations
+
+
+def test_postings_spread_is_tight(spark, index_dir):
+    rows = (
+        spark.read.parquet(index_dir + "/_build_state")
+        .select("shard", "n_postings", "postings_bytes")
+        .collect()
+    )
+    counts = [r["n_postings"] for r in rows]
+    assert len(counts) >= 4 and min(counts) > 0
+    assert max(counts) <= 2.0 * (sum(counts) / len(counts)), counts
+
+
+def test_head_term_splits_across_all_shards(spark, index_dir):
+    from pdfsearch_spark import corpus
+
+    head = corpus._vocab_and_zipf()[0][0]
+    from pdfsearch_spark.analyzer import tokenize
+
+    stem = tokenize(head)[0]
+    post = (
+        spark.read.parquet(index_dir + "/postings")
+        .filter(f"term = '{stem}'")
+        .select("shard", "df")
+        .collect()
+    )
+    n_shards = spark.read.parquet(index_dir + "/stats").collect()[0]["n_shards"]
+    assert len(post) == n_shards  # one slice of the head term in EVERY shard
+    dfs = [r["df"] for r in post]
+    assert max(dfs) <= 3.0 * (sum(dfs) / len(dfs)), dfs
+
+
+def test_reader_refuses_wrong_format(spark, tmp_path):
+    import pytest
+
+    from pdfsearch_spark.search import SearchEngine
+
+    spark.createDataFrame(
+        [(100, 50.0, 5000, 8, 1, 1, None)],
+        schema=(
+            "n_docs long, avgdl double, total_tokens long, n_shards int, "
+            "n_segments int, format int, watermark timestamp"
+        ),
+    ).write.mode("overwrite").parquet(str(tmp_path / "stats"))
+    with pytest.raises(ValueError, match="format"):
+        SearchEngine(spark, str(tmp_path))
