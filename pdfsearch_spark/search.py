@@ -61,6 +61,38 @@ class SearchEngine:
         ).persist()
         self._documents = spark.read.parquet(os.path.join(index_dir, "documents"))
         self._doc_text = spark.read.parquet(os.path.join(index_dir, "doc_text"))
+        # Driver-side dictionary caches. An engine is bound to one index
+        # snapshot (Spark caches the parquet file listing at first action;
+        # a refresh needs a new SearchEngine), so term→df and prefix→terms
+        # results are immutable for this engine's lifetime — repeated query
+        # vocabulary skips the dictionary job entirely.
+        self._df_cache: dict[str, int] = {}
+        self._prefix_cache: dict[str, list[str]] = {}
+
+    def _dfs_of(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self._term_stats.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
+
+    def _expand_prefix(self, pref: str) -> list[str]:
+        hit = self._prefix_cache.get(pref)
+        if hit is None:
+            hit = [
+                r["term"]
+                for r in self._term_stats.filter(
+                    F.col("term").startswith(pref)
+                ).select("term").collect()
+            ]
+            self._prefix_cache[pref] = hit
+        return hit
 
     # ---- planning -----------------------------------------------------
 
@@ -69,14 +101,7 @@ class SearchEngine:
         expansions: dict[int, list[str]] = {}
         for p in phrases:
             if p.prefix:
-                pref = p.terms[-1]
-                terms = [
-                    r["term"]
-                    for r in self._term_stats.filter(
-                        F.col("term").startswith(pref)
-                    ).select("term").collect()
-                ]
-                expansions[p.index] = terms
+                expansions[p.index] = self._expand_prefix(p.terms[-1])
         return tree, phrases, expansions
 
     def _needed_terms(self, phrases: list[Phrase], expansions) -> list[str]:
@@ -188,12 +213,9 @@ class SearchEngine:
         exhaustively — visible-tf semantics there need every candidate.
         Results are identical either way (tests/test_search.py A/B)."""
         term_list = sorted({p.terms[0] for p in phrases})
-        df_rows = {
-            r["term"]: r["df"]
-            for r in self._term_stats.filter(F.col("term").isin(term_list)).collect()
-        }
+        df_rows = self._dfs_of(term_list)
         idfs = np.array(
-            [idf_of(int(df_rows.get(p.terms[0], 0)), self.n_docs) for p in phrases]
+            [idf_of(df_rows.get(p.terms[0], 0), self.n_docs) for p in phrases]
         )
         n_docs, avgdl = self.n_docs, self.avgdl
         books = np.array(sorted(book_ids), dtype=np.int64) if book_ids else None
