@@ -45,15 +45,24 @@ class ShardIndex:
 
     A term may span several SEGMENTS (incremental refresh appends one posting
     row per (segment, term, shard)); segments partition the doc space, so the
-    merge is a concat + sort by doc id with no duplicates."""
+    merge is a concat + sort by doc id with no duplicates.
 
-    def __init__(self, posting_rows, need_positions: bool) -> None:
+    ``pos_terms``: decode the position stream ONLY for these terms — plain
+    terms that merely AND/OR with a phrase never pay the (dominant) position
+    decode; positions live in a separate stream exactly for this
+    (SURVEY.md §7.8-4)."""
+
+    def __init__(self, posting_rows, pos_terms: frozenset | set) -> None:
         parts: dict[str, list[TermPostings]] = {}
         for r in posting_rows.itertuples():
             doc_ids = decode_doc_ids(bytes(r.doc_blob), list(r.block_lens))
             tfs = decode_tfs(bytes(r.tf_blob))
             dls = decode_dls(bytes(r.dl_blob))
-            pos = decode_positions(bytes(r.pos_blob), len(doc_ids)) if need_positions else None
+            pos = (
+                decode_positions(bytes(r.pos_blob), len(doc_ids))
+                if r.term in pos_terms
+                else None
+            )
             parts.setdefault(r.term, []).append(TermPostings(doc_ids, tfs, dls, pos))
         self.terms: dict[str, TermPostings] = {}
         for term, tps in parts.items():
@@ -63,7 +72,7 @@ class ShardIndex:
             doc_ids = np.concatenate([t.doc_ids for t in tps])
             order = np.argsort(doc_ids, kind="stable")
             pos = None
-            if need_positions:
+            if term in pos_terms:
                 flat = [p for t in tps for p in t.positions]
                 pos = [flat[i] for i in order]
             self.terms[term] = TermPostings(
@@ -351,12 +360,27 @@ def score_shard(
     happens here only when ``dfs`` (global per-phrase df) is provided;
     otherwise the caller is in the df-collection pass.
     """
-    need_positions = any(
-        len(p.terms) > 1 or p.anchored or p.prefix for p in phrases
-    ) or _tree_has_near(tree)
-    idx = ShardIndex(posting_rows, need_positions)
+    # positions are needed per PHRASE, not per query: a phrase needs them if
+    # it is positional itself (multi-term / anchored / prefix-in-phrase) or
+    # sits under NEAR; only ITS terms pay the position-stream decode
+    near_pis = _near_phrase_indexes(tree)
+    pos_phrases = {
+        p.index
+        for p in phrases
+        if len(p.terms) > 1 or p.anchored or p.prefix or p.index in near_pis
+    }
+    pos_terms: set[str] = set()
+    for p in phrases:
+        if p.index in pos_phrases and p.col != "unindexed":
+            pos_terms.update(p.terms[:-1] if p.prefix else p.terms)
+            if p.prefix:
+                pos_terms.update(expansions.get(p.index, []))
+    idx = ShardIndex(posting_rows, pos_terms)
 
-    hits = {p.index: phrase_hits(idx, p, expansions, need_positions) for p in phrases}
+    hits = {
+        p.index: phrase_hits(idx, p, expansions, p.index in pos_phrases)
+        for p in phrases
+    }
 
     nonempty = [h for h in hits.values() if len(h.doc_ids)]
     if not nonempty:
@@ -398,6 +422,17 @@ def _tree_has_near(node: Node) -> bool:
     if node.op == "NEAR":
         return True
     return any(_tree_has_near(c) for c in node.children)
+
+
+def _near_phrase_indexes(node: Node) -> set[int]:
+    """Phrase indexes that appear under a NEAR node (their instance
+    positions feed _near_eval even if the phrase itself is a single term)."""
+    out: set[int] = set()
+    if node.op == "NEAR":
+        out.update(c.phrase.index for c in node.children)
+    for c in node.children:
+        out.update(_near_phrase_indexes(c))
+    return out
 
 
 def bm25_scores(
