@@ -347,6 +347,23 @@ def decode_block_u64(blob: bytes, offset: int, count: int) -> np.ndarray:
     return varint_decode(blob, count=count, offset=int(offset)).astype(np.int64)
 
 
+def decode_block_positions(
+    pos_blob: bytes, offset: int, end: int, ndocs: int
+) -> list[np.ndarray]:
+    """Decode ONE block's slice of the position stream: ``ndocs`` entries of
+    [count, delta positions...] between byte ``offset`` and ``end``."""
+    flat = varint_decode(memoryview(pos_blob)[int(offset) : int(end)]).astype(np.int64)
+    out: list[np.ndarray] = []
+    i = 0
+    for _ in range(ndocs):
+        n = int(flat[i])
+        i += 1
+        p = flat[i : i + n]
+        out.append(np.cumsum(p) if n else p)
+        i += n
+    return out
+
+
 def decode_positions(pos_blob: bytes, df: int) -> list[np.ndarray]:
     """Decode per-doc position arrays (delta-decoded)."""
     flat = varint_decode(pos_blob).astype(np.int64)

@@ -25,11 +25,53 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..codec import decode_dls, decode_doc_ids, decode_positions, decode_tfs
+from ..codec import decode_dls, decode_doc_ids, decode_tfs
 from .parser import Node, Phrase
 
 K1 = 1.2
 B = 0.75
+
+
+class LazyPositions:
+    """Block-lazy position resolver for one term's (possibly multi-segment)
+    merged posting order. ``fetch(idxs)`` decodes ONLY the 128-doc blocks
+    holding the requested merged indexes (cached) — a phrase intersection
+    touches a handful of blocks, not the term's whole position stream."""
+
+    __slots__ = ("parts", "bounds", "order", "_cache")
+
+    def __init__(self, parts: list[dict], order: np.ndarray | None) -> None:
+        self.parts = parts
+        self.bounds = np.cumsum([0] + [p["n"] for p in parts])
+        self.order = order  # merged idx -> concatenated idx; None = identity
+        self._cache: dict[tuple[int, int], list[np.ndarray]] = {}
+
+    def fetch(self, idxs) -> list[np.ndarray]:
+        from ..codec import decode_block_positions
+
+        out: list[np.ndarray] = []
+        for i in idxs:
+            orig = int(self.order[i]) if self.order is not None else int(i)
+            pi = int(np.searchsorted(self.bounds, orig, side="right")) - 1
+            local = orig - int(self.bounds[pi])
+            part = self.parts[pi]
+            cum = part["cum"]
+            b = int(np.searchsorted(cum, local, side="right"))
+            bstart = int(cum[b - 1]) if b > 0 else 0
+            key = (pi, b)
+            blk = self._cache.get(key)
+            if blk is None:
+                offs = part["pos_offs"]
+                end = int(offs[b + 1]) if b + 1 < len(offs) else len(part["pos_blob"])
+                blk = decode_block_positions(
+                    part["pos_blob"], int(offs[b]), end, int(part["block_lens"][b])
+                )
+                self._cache[key] = blk
+            out.append(blk[local - bstart])
+        return out
+
+    def fetch_all(self, n: int) -> list[np.ndarray]:
+        return self.fetch(range(n))
 
 
 @dataclass
@@ -37,7 +79,8 @@ class TermPostings:
     doc_ids: np.ndarray  # int64 sorted
     tfs: np.ndarray
     dls: np.ndarray
-    positions: list[np.ndarray] | None  # decoded lazily
+    positions: list[np.ndarray] | None  # eager (merged) positions, if any
+    lazy: LazyPositions | None = None  # block-lazy resolver, if positional
 
 
 class ShardIndex:
@@ -53,33 +96,43 @@ class ShardIndex:
     (SURVEY.md §7.8-4)."""
 
     def __init__(self, posting_rows, pos_terms: frozenset | set) -> None:
-        parts: dict[str, list[TermPostings]] = {}
+        parts: dict[str, list[tuple[TermPostings, dict | None]]] = {}
         for r in posting_rows.itertuples():
             doc_ids = decode_doc_ids(bytes(r.doc_blob), list(r.block_lens))
             tfs = decode_tfs(bytes(r.tf_blob))
             dls = decode_dls(bytes(r.dl_blob))
-            pos = (
-                decode_positions(bytes(r.pos_blob), len(doc_ids))
-                if r.term in pos_terms
-                else None
+            lazy_part = None
+            if r.term in pos_terms:
+                block_lens = np.asarray(r.block_lens, dtype=np.int64)
+                lazy_part = {
+                    "pos_blob": bytes(r.pos_blob),
+                    "pos_offs": np.asarray(r.pos_offs, dtype=np.int64),
+                    "block_lens": block_lens,
+                    "cum": np.cumsum(block_lens),
+                    "n": len(doc_ids),
+                }
+            parts.setdefault(r.term, []).append(
+                (TermPostings(doc_ids, tfs, dls, None), lazy_part)
             )
-            parts.setdefault(r.term, []).append(TermPostings(doc_ids, tfs, dls, pos))
         self.terms: dict[str, TermPostings] = {}
         for term, tps in parts.items():
             if len(tps) == 1:
-                self.terms[term] = tps[0]
+                tp, lp = tps[0]
+                if lp is not None:
+                    tp.lazy = LazyPositions([lp], None)
+                self.terms[term] = tp
                 continue
-            doc_ids = np.concatenate([t.doc_ids for t in tps])
+            doc_ids = np.concatenate([t.doc_ids for t, _ in tps])
             order = np.argsort(doc_ids, kind="stable")
-            pos = None
+            lazy = None
             if term in pos_terms:
-                flat = [p for t in tps for p in t.positions]
-                pos = [flat[i] for i in order]
+                lazy = LazyPositions([lp for _, lp in tps], order)
             self.terms[term] = TermPostings(
                 doc_ids[order],
-                np.concatenate([t.tfs for t in tps])[order],
-                np.concatenate([t.dls for t in tps])[order],
-                pos,
+                np.concatenate([t.tfs for t, _ in tps])[order],
+                np.concatenate([t.dls for t, _ in tps])[order],
+                None,
+                lazy,
             )
 
     def get(self, term: str) -> TermPostings | None:
@@ -147,14 +200,22 @@ def phrase_hits(
     simple = len(plists) == 1 and prefix_terms is None and not phrase.anchored
     if simple:
         tp = plists[0]
-        pos = tp.positions if need_positions else None
+        pos = None
+        if need_positions:
+            pos = (
+                tp.lazy.fetch_all(len(tp.doc_ids))
+                if tp.lazy is not None
+                else tp.positions
+            )
         return PhraseHits(tp.doc_ids, tp.tfs.copy(), tp.dls, pos)
 
     # Merge the prefix slot into a virtual term: union docs; per doc union
-    # positions / sum tfs.
+    # positions / sum tfs. Plain-term slots stay as TermPostings so the
+    # positional branch below can fetch their position blocks lazily for
+    # the intersection docs only.
     def slot_data(slot):
         if isinstance(slot, TermPostings):
-            return slot.doc_ids, slot.tfs, slot.dls, slot.positions
+            return slot.doc_ids, slot.tfs, slot.dls, slot
         # list of TermPostings (prefix expansion union)
         all_docs = _union_positions([s.doc_ids for s in slot])
         tfs = np.zeros(len(all_docs), dtype=np.int64)
@@ -164,9 +225,12 @@ def phrase_hits(
             loc = np.searchsorted(all_docs, s.doc_ids)
             tfs[loc] += s.tfs
             dls[loc] = s.dls
-            if s.positions is not None:
+            s_pos = (
+                s.lazy.fetch_all(len(s.doc_ids)) if s.lazy is not None else s.positions
+            )
+            if s_pos is not None:
                 for j, l in enumerate(loc):
-                    pos[l].append(s.positions[j])
+                    pos[l].append(s_pos[j])
         merged_pos = [
             _union_positions(p) if p else np.zeros(0, dtype=np.int64) for p in pos
         ]
@@ -179,20 +243,35 @@ def phrase_hits(
         docs, tfs, dls, pos = slots[0]
         return PhraseHits(docs, tfs, dls, pos if need_positions else None)
 
-    # positional evaluation needed (multi-term adjacency and/or anchor)
+    # positional evaluation needed (multi-term adjacency and/or anchor):
+    # positions are fetched ONLY for the doc-id intersection — block-lazy
+    # for plain-term slots, so a phrase over two huge posting lists decodes
+    # a handful of position blocks instead of both whole streams
     docs_common = slots[0][0]
     for s in slots[1:]:
         docs_common = np.intersect1d(docs_common, s[0], assume_unique=True)
     if len(docs_common) == 0:
         return PhraseHits.empty()
 
-    out_docs, out_counts, out_dls, out_pos = [], [], [], []
     locs = [np.searchsorted(s[0], docs_common) for s in slots]
+    slot_pos: list[list[np.ndarray]] = []
+    for si, s in enumerate(slots):
+        prov = s[3]
+        if isinstance(prov, TermPostings):
+            slot_pos.append(
+                prov.lazy.fetch(locs[si])
+                if prov.lazy is not None
+                else [prov.positions[j] for j in locs[si]]
+            )
+        else:
+            slot_pos.append([prov[j] for j in locs[si]])
+
+    out_docs, out_counts, out_dls, out_pos = [], [], [], []
     for ci, doc in enumerate(docs_common):
-        inter = slots[0][3][locs[0][ci]]
+        inter = slot_pos[0][ci]
         ok = True
         for si in range(1, len(slots)):
-            p = slots[si][3][locs[si][ci]]
+            p = slot_pos[si][ci]
             inter = np.intersect1d(inter, p - si, assume_unique=True)
             if len(inter) == 0:
                 ok = False

@@ -82,3 +82,40 @@ def test_postings_roundtrip_and_blockmeta():
             lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
             assert enc["first_docs"][b] == doc_ids[lo]
             assert enc["max_impacts"][b] >= impacts[lo:hi].max() - 1e-6
+
+
+def test_block_positions_match_full_decode():
+    """decode_block_positions over each block == decode_positions whole-list,
+    and LazyPositions fetches only the blocks holding requested docs."""
+    import pandas as pd
+
+    from pdfsearch_spark.codec import decode_block_positions, encode_postings
+    from pdfsearch_spark.query.scorer import LazyPositions
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 99]))
+    doc_ids, tfs, dls, positions = _random_posting(rng, 600)
+    enc = encode_postings(doc_ids, tfs, dls, positions, 120.0)
+    full = decode_positions(enc["pos_blob"], len(doc_ids))
+    # per-block decode matches the whole-list decode
+    offs, lens = enc["pos_offs"], enc["block_lens"]
+    i = 0
+    for b, n in enumerate(lens):
+        end = offs[b + 1] if b + 1 < len(offs) else len(enc["pos_blob"])
+        blk = decode_block_positions(enc["pos_blob"], offs[b], end, n)
+        for j in range(n):
+            assert (blk[j] == full[i + j]).all()
+        i += n
+    # lazy fetch: arbitrary subset, identical results, partial block decode
+    part = {
+        "pos_blob": enc["pos_blob"],
+        "pos_offs": np.asarray(offs, dtype=np.int64),
+        "block_lens": np.asarray(lens, dtype=np.int64),
+        "cum": np.cumsum(np.asarray(lens, dtype=np.int64)),
+        "n": len(doc_ids),
+    }
+    lp = LazyPositions([part], None)
+    idxs = sorted(rng.choice(200, size=25, replace=False).tolist())  # blocks 0-1
+    got = lp.fetch(np.array(idxs))
+    for x, i_ in zip(got, idxs):
+        assert (x == full[i_]).all()
+    assert len(lp._cache) <= 2  # blocks 2-4 never decoded
