@@ -1,0 +1,80 @@
+"""Randomized differential testing: generated grammar queries vs FTS5.
+
+Seeded Philox generator composes random queries over the fixture corpus's own
+vocabulary (so matches exist) across every grammar production — bare terms,
+implicit AND, OR, NOT, phrases, prefixes, NEAR, anchors, parenthesized groups
+with explicit operators — and asserts rank-identity (docIDs + scores to 1e-9
+after (score, doc_id) tie-sort) against the reference engine reconstruction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SEED = 20260817
+N_QUERIES = 30
+
+
+def _vocab(corpus_pdf) -> list[str]:
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in corpus_pdf["text"].head(120):
+        for w in (t or "").split():
+            w = "".join(ch for ch in w.lower() if ch.isalnum())
+            if 3 <= len(w) <= 12:
+                c[w] += 1
+    return [w for w, n in c.most_common(150) if n >= 2]
+
+
+def _gen_query(rng, vocab) -> str:
+    def term():
+        return vocab[int(rng.integers(0, len(vocab)))]
+
+    def atom(depth):
+        r = int(rng.integers(0, 10))
+        if r <= 3:
+            return term()
+        if r == 4:
+            return f'"{term()} {term()}"'
+        if r == 5:
+            return f"{term()[: int(rng.integers(3, 5))]}*"
+        if r == 6:
+            return f"^{term()}"
+        if r == 7:
+            return f"NEAR({term()} {term()}, {int(rng.integers(1, 8))})"
+        if r == 8 and depth < 2:
+            op = ["OR", "NOT", "AND"][int(rng.integers(0, 3))]
+            return f"({atom(depth + 1)} {op} {atom(depth + 1)}) AND {term()}"
+        return f"{term()} {term()}"
+
+    n = int(rng.integers(1, 3))
+    parts = [atom(0) for _ in range(n)]
+    joiners = [" ", " OR ", " NOT "]
+    out = parts[0]
+    for p in parts[1:]:
+        out += joiners[int(rng.integers(0, 3))] + p
+    return out
+
+
+def _pairs_engine(engine, q, k):
+    rows = engine.search(q, k=k, with_snippets=False).select("doc_id", "score").collect()
+    return sorted((r["doc_id"], r["score"]) for r in rows)
+
+
+def _pairs_oracle(oracle, q, k):
+    return sorted((r.doc_id, r.score) for r in oracle.search(q, k=k))
+
+
+@pytest.mark.parametrize("qi", range(N_QUERIES))
+def test_random_query_rank_identical(engine, oracle, corpus_pdf, qi):
+    rng = np.random.Generator(np.random.Philox(key=[SEED, qi]))
+    vocab = _vocab(corpus_pdf)
+    q = _gen_query(rng, vocab)
+    o = _pairs_oracle(oracle, q, 200)
+    e = _pairs_engine(engine, q, 200)
+    assert len(o) == len(e), f"q={q!r}: oracle {len(o)} vs engine {len(e)}"
+    for (od, osc), (ed, esc) in zip(o, e):
+        assert od == ed, f"q={q!r}: doc {od} != {ed}"
+        assert abs(osc - esc) < 1e-9, f"q={q!r} doc {od}: {osc} vs {esc}"
