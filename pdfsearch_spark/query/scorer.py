@@ -142,12 +142,16 @@ class ShardIndex:
 @dataclass
 class PhraseHits:
     """Per-shard instance data for one phrase: sorted doc ids, visible
-    instance counts, dl per doc, and (optional) instance start positions."""
+    instance counts, dl per doc, and (optional) instance start positions.
+    ``lazy`` defers position decode for single-term phrases under NEAR —
+    _near_eval fetches only the blocks of docs where every NEAR phrase is
+    present."""
 
     doc_ids: np.ndarray
     counts: np.ndarray
     dls: np.ndarray
     positions: list[np.ndarray] | None  # start positions per doc
+    lazy: "LazyPositions | None" = None
 
     @staticmethod
     def empty() -> "PhraseHits":
@@ -200,13 +204,11 @@ def phrase_hits(
     simple = len(plists) == 1 and prefix_terms is None and not phrase.anchored
     if simple:
         tp = plists[0]
-        pos = None
-        if need_positions:
-            pos = (
-                tp.lazy.fetch_all(len(tp.doc_ids))
-                if tp.lazy is not None
-                else tp.positions
-            )
+        if need_positions and tp.lazy is not None:
+            # defer: only a NEAR evaluation consumes these, and it knows the
+            # candidate set — let it fetch just those docs' blocks
+            return PhraseHits(tp.doc_ids, tp.tfs.copy(), tp.dls, None, tp.lazy)
+        pos = tp.positions if need_positions else None
         return PhraseHits(tp.doc_ids, tp.tfs.copy(), tp.dls, pos)
 
     # Merge the prefix slot into a virtual term: union docs; per doc union
@@ -319,12 +321,26 @@ def _near_eval(
     k = len(hits)
     mask = np.zeros(len(cand), dtype=bool)
     counts = np.zeros((len(cand), k), dtype=np.int64)
+    # prefetch deferred positions for the candidate rows only (docs where
+    # EVERY NEAR phrase is present) — block-lazy decode, see PhraseHits.lazy
+    all_present = np.logical_and.reduce(present) if present else np.zeros(0, bool)
+    cand_rows = np.flatnonzero(all_present)
+    pos_by_phrase: list[list] = []
+    for j, h in enumerate(hits):
+        if h.positions is None and h.lazy is not None:
+            fetched = h.lazy.fetch(locs[j][cand_rows])
+            plist: list = [None] * (len(h.doc_ids) or 1)
+            for r, arr in zip(locs[j][cand_rows], fetched):
+                plist[r] = arr
+            pos_by_phrase.append(plist)
+        else:
+            pos_by_phrase.append(h.positions)
     for i in range(len(cand)):
         if not all(p[i] for p in present):
             continue
         spans = []
         for j, h in enumerate(hits):
-            starts = np.asarray(h.positions[locs[j][i]], dtype=np.int64)
+            starts = np.asarray(pos_by_phrase[j][locs[j][i]], dtype=np.int64)
             ends = starts + (phrase_lens[j] - 1)
             spans.append((starts, ends))
         if k == 2:
