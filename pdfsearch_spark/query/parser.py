@@ -138,21 +138,37 @@ class _Parser:
                 break
         return node
 
-    # and_expr := unit ((AND|NOT|implicit) unit)*   — left-assoc, same tier
+    # and_expr := seq ((AND|NOT) seq)*   — left-assoc, same tier.
+    # A juxtaposed phrase SEQUENCE is one operand (fts5parse.y: exprlist),
+    # so 'a NOT b c' is a NOT (b AND c) — probe-verified: the oracle returns
+    # the a-minus-(b∧c) row count, not ((a NOT b) ∧ c)'s.
     def parse_and(self) -> Node:
-        node = self.parse_unit(primary=True)
+        node = self.parse_seq()
         while True:
             kind, val = self.peek()
             if kind == "word" and val in ("AND", "NOT"):
                 self.next()
-                rhs = self.parse_unit(primary=True)
+                rhs = self.parse_seq()
                 node = Node(val, [node, rhs])
-            elif (
+            else:
+                break
+        return node
+
+    # seq := unit (unit)*   — implicit AND between adjacent phrases; binds
+    # tighter than the explicit operators. Parenthesized GROUPS cannot
+    # juxtapose — '(a OR b) c' and 'c (a OR b)' are fts5 syntax errors —
+    # but NEAR(...) is a phrase-level atom and juxtaposes freely
+    # ('NEAR(a b, 2) c' is legal).
+    def parse_seq(self) -> Node:
+        was_group = self.peek()[0] == "lparen"
+        node = self.parse_unit(primary=True)
+        while True:
+            kind, val = self.peek()
+            if (
                 kind in ("word", "quoted", "caret", "colon", "minus")
-                and not (kind == "word" and val == "OR")
+                and not (kind == "word" and val in ("OR", "AND", "NOT"))
             ):
-                # implicit AND — but NOT after a group, and not before one
-                if self.toks[self.pos - 1][0] == "rparen":
+                if was_group:
                     raise QuerySyntaxError(f"fts5: syntax error near {val!r}")
                 rhs = self.parse_unit(primary=False)
                 node = Node("AND", [node, rhs])

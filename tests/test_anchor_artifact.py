@@ -1,0 +1,95 @@
+"""Anchored phrases inside boolean trees: scoring pinned vs the oracle.
+
+Exercises every structural placement of an `^term` phrase inside OR/AND/NOT
+trees (including docs where the anchor's term matches but not at position 0,
+and an anchor that matches nothing index-wide) and asserts rank-identity
+against the reference engine on a corpus built to hit each case.
+
+KNOWN DIVERGENCE (documented, not replicated): on SOME larger corpora the
+fuzzer observed FTS5 zeroing the visible instances of an anchored phrase's
+OR-siblings for docs where the anchor matches term-wise but not at pos 0,
+when the OR group sits under an AND that has an OR/NOT ancestor
+(e.g. `(^t OR a) AND b OR c` scored a∧b∧c docs as b+c, dropping a). The
+SAME query shapes on this module's corpus — including with a globally-empty
+anchored phrase — score normally, so the trigger depends on FTS5-internal
+iteration state, not on query structure alone. Match SETS are never
+affected, only deep-rank scores, at a rate of ~1 per 300 random grammar
+queries; we keep the specification-consistent scoring rather than chase an
+implementation accident. Probe history: git log for this file.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pytest
+
+from pdfsearch_spark.extract import extract_text
+from pdfsearch_spark.index_build import build_index
+from pdfsearch_spark.oracle import FTS5Oracle
+from pdfsearch_spark.search import SearchEngine
+
+IDX = "/tmp/pdfsearch_anchor_idx"
+
+TEXTS = [
+    "alpha omega beta gamma delta",       # omega present, NOT at pos 0
+    "beta gamma delta",                   # no omega
+    "omega beta gamma delta",             # omega at pos 0 (anchor matches)
+    "alpha omega beta gamma",             # artifact doc without delta
+    "delta epsilon",                      # right-branch-only doc
+    "beta omega gamma alpha delta beta",  # omega mid-doc, beta twice
+    "gamma delta omega",                  # omega last
+    "alpha beta",                         # filler
+]
+
+QUERIES = [
+    # trigger shapes (AND above the OR group, OR/NOT above that AND)
+    "(^omega OR beta) AND gamma OR delta",
+    "((^omega OR beta) AND gamma) OR delta",
+    "delta OR (^omega OR beta) AND gamma",
+    "(((^omega OR beta) AND gamma) AND delta) OR alpha",
+    "((^omega OR beta) AND gamma) NOT epsilon",
+    "((^omega OR beta) OR epsilon) AND gamma OR delta",
+    # non-trigger shapes
+    "(^omega OR beta) AND gamma",
+    "(^omega OR beta) AND gamma AND delta",
+    "delta AND ((^omega OR beta) AND gamma)",
+    "(^omega OR beta) OR delta",
+    "(^omega OR beta) NOT epsilon",
+    "^omega OR beta OR delta",
+    # anchor matching / term absent
+    "(^beta OR gamma) AND delta OR alpha",
+    "(^epsilon OR beta) AND gamma OR delta",
+]
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    urls = [f"http://anchor.example/d{i}" for i in range(len(TEXTS))]
+    htmls = [f"<html><body><p>{t}</p></body></html>".encode() for t in TEXTS]
+    ts = pd.to_datetime("2025-01-01")
+    pdf = pd.DataFrame(
+        {"url": urls, "warc_ts": ts, "html": htmls, "text": None, "lang": "en"}
+    )
+    pdf["text"] = [extract_text(h) for h in pdf["html"]]
+    oracle = FTS5Oracle()
+    oracle.load(pdf)
+    pages = spark.createDataFrame(
+        pdf[["url", "warc_ts", "html", "text", "lang"]]
+    )
+    shutil.rmtree(IDX, ignore_errors=True)
+    build_index(spark, pages, IDX, n_shards=2)
+    return SearchEngine(spark, IDX), oracle
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: q[:40])
+def test_anchor_artifact_rank_identical(pair, q):
+    eng, oracle = pair
+    o = sorted((r.doc_id, r.score) for r in oracle.search(q, k=100))
+    rows = eng.search(q, k=100, with_snippets=False).select("doc_id", "score").collect()
+    e = sorted((r["doc_id"], r["score"]) for r in rows)
+    assert len(o) == len(e), f"q={q!r}: oracle {len(o)} vs engine {len(e)}"
+    for (od, osc), (ed, esc) in zip(o, e):
+        assert od == ed, f"q={q!r}: doc {od} != {ed}"
+        assert abs(osc - esc) < 1e-9, f"q={q!r} doc {od}: oracle {osc} engine {esc}"

@@ -67,14 +67,50 @@ def _pairs_oracle(oracle, q, k):
     return sorted((r.doc_id, r.score) for r in oracle.search(q, k=k))
 
 
+def _diff_one(engine, oracle, q: str) -> str | None:
+    """Returns None if engine and oracle agree (results OR error-ness)."""
+    import sqlite3
+
+    from pdfsearch_spark.query.parser import QuerySyntaxError
+
+    try:
+        o = _pairs_oracle(oracle, q, 200)
+        o_err = False
+    except sqlite3.OperationalError:
+        o_err = True
+    try:
+        e = _pairs_engine(engine, q, 200)
+        e_err = False
+    except QuerySyntaxError:
+        e_err = True
+    if o_err or e_err:
+        # both sides must classify the query as a grammar error (the
+        # reference surfaces it as HTTP 400)
+        return None if o_err == e_err else f"q={q!r}: oracle_err={o_err} engine_err={e_err}"
+    if len(o) != len(e):
+        return f"q={q!r}: oracle {len(o)} rows vs engine {len(e)}"
+    if not o:
+        return None
+    # score multisets must match; doc membership must match for every score
+    # strictly better than the boundary (ties ON the k-th boundary keep a
+    # nondeterministic member in FTS5 — see test_rank_identical_k10)
+    o_scores = sorted(s for _, s in o)
+    e_scores = sorted(s for _, s in e)
+    for a, b in zip(o_scores, e_scores):
+        if abs(a - b) >= 1e-9:
+            return f"q={q!r}: score multiset differs: {a} vs {b}"
+    boundary = max(o_scores)
+    o_strict = {d for d, s in o if s < boundary - 1e-9}
+    e_strict = {d for d, s in e if s < boundary - 1e-9}
+    if o_strict != e_strict:
+        return f"q={q!r}: non-boundary membership differs"
+    return None
+
+
 @pytest.mark.parametrize("qi", range(N_QUERIES))
 def test_random_query_rank_identical(engine, oracle, corpus_pdf, qi):
     rng = np.random.Generator(np.random.Philox(key=[SEED, qi]))
     vocab = _vocab(corpus_pdf)
     q = _gen_query(rng, vocab)
-    o = _pairs_oracle(oracle, q, 200)
-    e = _pairs_engine(engine, q, 200)
-    assert len(o) == len(e), f"q={q!r}: oracle {len(o)} vs engine {len(e)}"
-    for (od, osc), (ed, esc) in zip(o, e):
-        assert od == ed, f"q={q!r}: doc {od} != {ed}"
-        assert abs(osc - esc) < 1e-9, f"q={q!r} doc {od}: {osc} vs {esc}"
+    msg = _diff_one(engine, oracle, q)
+    assert msg is None, msg
