@@ -4,10 +4,11 @@ Usage: PYTHONPATH=/root/repo python scripts/dev_fuzz_queries.py [N] [seed]
 Bigger sibling of tests/test_fuzz_queries.py (same generator) for pre-ship
 sweeps; prints each failing query, exits nonzero on any mismatch.
 
-Known acceptable failure class (~1 per 300 queries): anchored phrase inside
-an OR group under an AND with an OR/NOT ancestor can score differently on
-deep ranks — an FTS5 iteration-state artifact we deliberately do not
-replicate (see tests/test_anchor_artifact.py docstring).
+Known acceptable failure class (~1 per 300 queries): phrases in an OR group
+under an AND with an OR/NOT ancestor can lose score contributions in FTS5
+when a sibling branch holds a nomatch iterator state (failed anchor / NEAR /
+prefix) — an FTS5 iteration-state artifact, score-only and corpus-dependent,
+that we deliberately do not replicate (tests/test_anchor_artifact.py).
 """
 
 import sys

@@ -5,17 +5,20 @@ trees (including docs where the anchor's term matches but not at position 0,
 and an anchor that matches nothing index-wide) and asserts rank-identity
 against the reference engine on a corpus built to hit each case.
 
-KNOWN DIVERGENCE (documented, not replicated): on SOME larger corpora the
-fuzzer observed FTS5 zeroing the visible instances of an anchored phrase's
-OR-siblings for docs where the anchor matches term-wise but not at pos 0,
-when the OR group sits under an AND that has an OR/NOT ancestor
-(e.g. `(^t OR a) AND b OR c` scored a∧b∧c docs as b+c, dropping a). The
-SAME query shapes on this module's corpus — including with a globally-empty
-anchored phrase — score normally, so the trigger depends on FTS5-internal
-iteration state, not on query structure alone. Match SETS are never
-affected, only deep-rank scores, at a rate of ~1 per 300 random grammar
-queries; we keep the specification-consistent scoring rather than chase an
-implementation accident. Probe history: git log for this file.
+KNOWN DIVERGENCE FAMILY (documented, not replicated): on SOME corpora the
+fuzzer observed FTS5 dropping visible instances of phrases inside an OR
+group that sits below an AND with an OR/NOT ancestor, whenever a sibling
+branch holds a "nomatch" iterator state (an anchor matching term-wise but
+not at pos 0; a failed NEAR/prefix subtree). Both the non-matching sibling
+(`(^t OR a) AND b OR c` scored a∧b∧c docs as b+c, dropping a) and even the
+MATCHING branch (`((NEAR(..) NOT p*) AND x OR y) AND z OR w` dropped y, the
+very branch that satisfied the OR) have been observed dropped. The same
+query shapes on this module's corpus score normally, and per-phrase dfs/
+idfs always agree — the trigger depends on FTS5-internal iteration state,
+not query structure. Match SETS are never affected, only deep-rank scores,
+at ~1 per 300 random grammar queries; we keep the specification-consistent
+scoring (OR-branch-that-matched counts; non-matching branch is zero) rather
+than chase an implementation accident. Probe history: git log.
 """
 
 from __future__ import annotations
