@@ -33,7 +33,7 @@ def _gen_query(rng, vocab) -> str:
         return vocab[int(rng.integers(0, len(vocab)))]
 
     def atom(depth):
-        r = int(rng.integers(0, 10))
+        r = int(rng.integers(0, 14))
         if r <= 3:
             return term()
         if r == 4:
@@ -47,6 +47,14 @@ def _gen_query(rng, vocab) -> str:
         if r == 8 and depth < 2:
             op = ["OR", "NOT", "AND"][int(rng.integers(0, 3))]
             return f"({atom(depth + 1)} {op} {atom(depth + 1)}) AND {term()}"
+        if r == 9:
+            return f"text:{term()}"
+        if r == 10:
+            return f"-text:{term()}"
+        if r == 11:
+            return f"{term()} + {term()}"
+        if r == 12:
+            return f'"{term()} {term()}"*'
         return f"{term()} {term()}"
 
     n = int(rng.integers(1, 3))
