@@ -244,3 +244,64 @@ def snippet_series(
         [make_snippet(t or "", phrase_slots, anchored, n) for t in texts],
         index=texts.index,
     )
+
+
+def phrase_slot_table(phrases, expansions) -> tuple[list, list]:
+    """Per-slot allowed-term sets + anchored flags, aligned to phrase INDEX
+    (an unindexed-column phrase gets an impossible slot so indexes line up)."""
+    slots_list: list[list[frozenset[str]]] = []
+    anchored: list[bool] = []
+    for p in sorted(phrases, key=lambda p: p.index):
+        if p.col == "unindexed":
+            slots_list.append([frozenset()])
+            anchored.append(False)
+            continue
+        slots = [frozenset([t]) for t in p.terms]
+        if p.prefix:
+            slots[-1] = frozenset(expansions.get(p.index, []))
+        slots_list.append(slots)
+        anchored.append(p.anchored)
+    return slots_list, anchored
+
+
+def visible_phrase_indexes(tree, slots_list, anchored, text: str) -> set[int]:
+    """Which phrases FTS5's snippet() highlights for THIS doc.
+
+    A phrase is highlighted only when its subtree CONTRIBUTES under the
+    boolean tree — the same visibility rule the scorer applies to tf (an OR
+    branch whose AND fails contributes nothing even if the phrase's term is
+    present; fuzz-found via '(a OR b) AND c OR d'). Reuses scorer.evaluate
+    over a one-row frame so snippet visibility can never drift from scoring
+    visibility."""
+    import numpy as np
+
+    from .scorer import PhraseHits, evaluate
+
+    toks = tokenize_offsets(text)
+    terms = [t for t, _, _ in toks]
+    per_phrase = find_phrase_instances(terms, slots_list, anchored)
+    P = len(slots_list)
+    cand = np.zeros(1, dtype=np.int64)
+    tf_matrix = np.zeros((1, P), dtype=np.int64)
+    present: dict[int, np.ndarray] = {}
+    locs: dict[int, np.ndarray] = {}
+    hits: dict[int, PhraseHits] = {}
+    for pi in range(P):
+        inst = per_phrase[pi]
+        tf_matrix[0, pi] = len(inst)
+        present[pi] = np.array([bool(inst)])
+        locs[pi] = np.zeros(1, dtype=np.int64)
+        starts = np.array([s for s, _ in inst], dtype=np.int64)
+        hits[pi] = PhraseHits(
+            np.zeros(1 if inst else 0, dtype=np.int64),
+            np.array([len(inst)] if inst else [], dtype=np.int64),
+            np.zeros(1 if inst else 0, dtype=np.int64),
+            [starts],
+        )
+    phrase_lens = {pi: len(slots_list[pi]) for pi in range(P)}
+    mask, vis = evaluate(tree, hits, cand, tf_matrix, present, locs, phrase_lens)
+    if not mask[0]:
+        # shouldn't happen for a returned result row; highlight all as a
+        # conservative fallback
+        return set(range(P))
+    return {pi for pi in range(P) if vis[0, pi] > 0}

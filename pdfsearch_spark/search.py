@@ -180,7 +180,7 @@ class SearchEngine:
             # snippets are a ≤k-row presentation concern — driver-side pandas,
             # not a cluster stage (reference computes them per emitted row too)
             titles, bodies = self._snippet_pair(
-                [texts.get(i, "") for i in ids], phrases, expansions
+                [texts.get(i, "") for i in ids], tree, phrases, expansions
             )
         else:
             meta = {
@@ -533,28 +533,31 @@ class SearchEngine:
     # ---- snippets ------------------------------------------------------
 
     def _snippet_pair(
-        self, texts: list[str], phrases, expansions
+        self, texts: list[str], tree, phrases, expansions
     ) -> tuple[list[str], list[str]]:
         """FTS5 snippet(…,16) titles + snippet(…,60) bodies for ≤k texts,
-        computed driver-side (Q7 runs only over emitted rows)."""
-        from .query.snippet import snippet_series
+        computed driver-side (Q7 runs only over emitted rows). Per doc, only
+        VISIBLE phrases are highlighted — FTS5's snippet() skips phrases
+        whose branch contributes nothing for that row (fuzz-found via
+        '(a OR b) AND c OR d': a doc matching a∧d but not c highlights only
+        d)."""
+        from .query.snippet import (
+            make_snippet,
+            phrase_slot_table,
+            visible_phrase_indexes,
+        )
 
-        # phrase → per-slot allowed-term sets (prefix slot = its expansion)
-        phrase_slots: list[list[frozenset]] = []
-        anchored: list[bool] = []
-        for p in phrases:
-            if p.col == "unindexed":
-                continue
-            slots = [frozenset([t]) for t in p.terms]
-            if p.prefix:
-                slots[-1] = frozenset(expansions.get(p.index, []))
-            phrase_slots.append(slots)
-            anchored.append(p.anchored)
-
-        t = pd.Series(texts).fillna("")
-        titles = snippet_series(t, phrase_slots, anchored, 16)
-        bodies = snippet_series(t, phrase_slots, anchored, 60)
-        return list(titles), list(bodies)
+        slots_list, anchored = phrase_slot_table(phrases, expansions)
+        titles: list[str] = []
+        bodies: list[str] = []
+        for text in texts:
+            text = text or ""
+            vis = sorted(visible_phrase_indexes(tree, slots_list, anchored, text))
+            f_slots = [slots_list[i] for i in vis]
+            f_anch = [anchored[i] for i in vis]
+            titles.append(make_snippet(text, f_slots, f_anch, 16))
+            bodies.append(make_snippet(text, f_slots, f_anch, 60))
+        return titles, bodies
 
 
 def tree_has_no_near(node: Node) -> bool:

@@ -12,7 +12,7 @@ from pdfsearch_spark import corpus
 from pdfsearch_spark.analyzer import tokenize, unicode61_tokens
 from pdfsearch_spark.fnv import fnv1_64_signed
 from pdfsearch_spark.query.parser import parse_query
-from pdfsearch_spark.query.snippet import make_snippet
+from pdfsearch_spark.query.snippet import make_snippet, visible_phrase_indexes
 
 QUERIES = [
     x["query"]
@@ -24,8 +24,10 @@ QUERIES = [
 def _phrase_slots(q, oracle):
     tree, phrases = parse_query(q, tokenize, unicode61_tokens)
     slots_list, anchored = [], []
-    for p in phrases:
+    for p in sorted(phrases, key=lambda p: p.index):
         if p.col == "unindexed":
+            slots_list.append([frozenset()])
+            anchored.append(False)
             continue
         slots = [frozenset([t]) for t in p.terms]
         if p.prefix:
@@ -33,7 +35,7 @@ def _phrase_slots(q, oracle):
             slots[-1] = frozenset(t for t in vocab if t.startswith(p.terms[-1]))
         slots_list.append(slots)
         anchored.append(p.anchored)
-    return slots_list, anchored
+    return tree, slots_list, anchored
 
 
 @pytest.mark.parametrize("q", QUERIES, ids=lambda q: repr(q)[:30])
@@ -45,13 +47,16 @@ def test_snippets_byte_identical(q, oracle, corpus_pdf):
     text_by_id = {
         fnv1_64_signed(u): t for u, t in zip(corpus_pdf["url"], corpus_pdf["text"])
     }
-    slots_list, anchored = _phrase_slots(q, oracle)
+    tree, slots_list, anchored = _phrase_slots(q, oracle)
     for r in res:
         t = text_by_id[r.doc_id]
-        assert make_snippet(t, slots_list, anchored, 16) == r.title, (
+        vis = sorted(visible_phrase_indexes(tree, slots_list, anchored, t))
+        f_slots = [slots_list[i] for i in vis]
+        f_anch = [anchored[i] for i in vis]
+        assert make_snippet(t, f_slots, f_anch, 16) == r.title, (
             f"q={q!r} doc={r.doc_id} 16-token snippet mismatch"
         )
-        assert make_snippet(t, slots_list, anchored, 60) == r.text, (
+        assert make_snippet(t, f_slots, f_anch, 60) == r.text, (
             f"q={q!r} doc={r.doc_id} 60-token snippet mismatch"
         )
 
