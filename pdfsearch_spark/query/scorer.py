@@ -343,45 +343,49 @@ def _near_eval(
             starts = np.asarray(pos_by_phrase[j][locs[j][i]], dtype=np.int64)
             ends = starts + (phrase_lens[j] - 1)
             spans.append((starts, ends))
-        if k == 2:
-            s0, e0 = spans[0]
-            s1, e1 = spans[1]
-            # gap(a,b): tokens strictly between the two spans (0 if overlap)
-            gap = np.where(
-                s1[None, :] > e0[:, None],
-                s1[None, :] - e0[:, None] - 1,
-                np.where(s0[:, None] > e1[None, :], s0[:, None] - e1[None, :] - 1, 0),
-            )
-            ok_pairs = gap <= near_n
-            if ok_pairs.any():
-                mask[i] = True
-                counts[i, 0] = int(ok_pairs.any(axis=1).sum())
-                counts[i, 1] = int(ok_pairs.any(axis=0).sum())
-        else:
-            sizes = [len(s[0]) for s in spans]
-            total = 1
-            for s_ in sizes:
-                total *= s_
-            surviving = [np.zeros(s_, dtype=bool) for s_ in sizes]
-            if total <= 20000:
-                import itertools
-
-                for combo in itertools.product(*(range(s_) for s_ in sizes)):
-                    max_s = max(spans[j][0][c] for j, c in enumerate(combo))
-                    min_e = min(spans[j][1][c] for j, c in enumerate(combo))
-                    if max(0, max_s - min_e - 1) <= near_n:
-                        for j, c in enumerate(combo):
-                            surviving[j][c] = True
-                if any(s.any() for s in surviving):
-                    mask[i] = True
-                    for j in range(k):
-                        counts[i, j] = int(surviving[j].sum())
-            else:
-                # conservative fallback: all instances visible
-                mask[i] = True
-                for j in range(k):
-                    counts[i, j] = sizes[j]
+        surviving = near_surviving(spans, near_n)
+        if any(s.any() for s in surviving):
+            mask[i] = True
+            for j in range(k):
+                counts[i, j] = int(surviving[j].sum())
     return mask, counts
+
+
+def near_surviving(
+    spans: list[tuple[np.ndarray, np.ndarray]], near_n: int
+) -> list[np.ndarray]:
+    """Per phrase: boolean mask of instances participating in >=1 valid NEAR
+    combination (the instances FTS5 counts for bm25 AND highlights in
+    snippets). Exact pairwise rule for 2 phrases; bounded brute force for
+    k>2, falling back to all-instances when the combination count explodes."""
+    k = len(spans)
+    sizes = [len(s[0]) for s in spans]
+    if k == 2:
+        s0, e0 = spans[0]
+        s1, e1 = spans[1]
+        # gap(a,b): tokens strictly between the two spans (0 if overlap)
+        gap = np.where(
+            s1[None, :] > e0[:, None],
+            s1[None, :] - e0[:, None] - 1,
+            np.where(s0[:, None] > e1[None, :], s0[:, None] - e1[None, :] - 1, 0),
+        )
+        ok_pairs = gap <= near_n
+        return [ok_pairs.any(axis=1), ok_pairs.any(axis=0)]
+    total = 1
+    for s_ in sizes:
+        total *= s_
+    if total > 20000:
+        return [np.ones(s_, dtype=bool) for s_ in sizes]
+    import itertools
+
+    surviving = [np.zeros(s_, dtype=bool) for s_ in sizes]
+    for combo in itertools.product(*(range(s_) for s_ in sizes)):
+        max_s = max(spans[j][0][c] for j, c in enumerate(combo))
+        min_e = min(spans[j][1][c] for j, c in enumerate(combo))
+        if max(0, max_s - min_e - 1) <= near_n:
+            for j, c in enumerate(combo):
+                surviving[j][c] = True
+    return surviving
 
 
 def evaluate(

@@ -142,11 +142,13 @@ def make_snippet(
     open_m: str = "<b>",
     close_m: str = "</b>",
     ellips: str = "...",
+    per_phrase: list[list[tuple[int, int]]] | None = None,
 ) -> str:
     toks = tokenize_offsets(text)
     n_docsize = len(toks)
     terms = [t[0] for t in toks]
-    per_phrase = find_phrase_instances(terms, phrase_slots, anchored)
+    if per_phrase is None:
+        per_phrase = find_phrase_instances(terms, phrase_slots, anchored)
     # xInst order: by position, phrase index as tiebreak
     instances = sorted(
         (s, pi, e) for pi, inst in enumerate(per_phrase) for (s, e) in inst
@@ -264,18 +266,24 @@ def phrase_slot_table(phrases, expansions) -> tuple[list, list]:
     return slots_list, anchored
 
 
-def visible_phrase_indexes(tree, slots_list, anchored, text: str) -> set[int]:
-    """Which phrases FTS5's snippet() highlights for THIS doc.
+def snippet_plan(
+    tree, slots_list, anchored, text: str
+) -> tuple[list, list, list]:
+    """Per-doc highlight plan: (slots, anchored, instances) for exactly the
+    phrase instances FTS5's snippet() marks in THIS row.
 
-    A phrase is highlighted only when its subtree CONTRIBUTES under the
-    boolean tree — the same visibility rule the scorer applies to tf (an OR
-    branch whose AND fails contributes nothing even if the phrase's term is
-    present; fuzz-found via '(a OR b) AND c OR d'). Reuses scorer.evaluate
-    over a one-row frame so snippet visibility can never drift from scoring
-    visibility."""
+    Two FTS5 behaviors reproduced here (both fuzz-found):
+    - a phrase is highlighted only when its subtree CONTRIBUTES under the
+      boolean tree — same visibility rule the scorer applies to tf (an OR
+      branch whose AND fails contributes nothing even if the term is
+      present: '(a OR b) AND c OR d');
+    - under NEAR, only PARTICIPATING instances are highlighted (an
+      instance outside every valid near-combination is not marked).
+    Reuses scorer.evaluate over a one-row frame and the scorer's
+    near_surviving, so snippets can never drift from scoring semantics."""
     import numpy as np
 
-    from .scorer import PhraseHits, evaluate
+    from .scorer import PhraseHits, evaluate, near_surviving
 
     toks = tokenize_offsets(text)
     terms = [t for t, _, _ in toks]
@@ -301,7 +309,35 @@ def visible_phrase_indexes(tree, slots_list, anchored, text: str) -> set[int]:
     phrase_lens = {pi: len(slots_list[pi]) for pi in range(P)}
     mask, vis = evaluate(tree, hits, cand, tf_matrix, present, locs, phrase_lens)
     if not mask[0]:
-        # shouldn't happen for a returned result row; highlight all as a
-        # conservative fallback
-        return set(range(P))
-    return {pi for pi in range(P) if vis[0, pi] > 0}
+        # shouldn't happen for a returned result row; highlight everything
+        # as a conservative fallback
+        visible = set(range(P))
+    else:
+        visible = {pi for pi in range(P) if vis[0, pi] > 0}
+
+    # NEAR participation filter
+    def walk(node):
+        if node.op == "NEAR":
+            pis = [c.phrase.index for c in node.children]
+            if all(per_phrase[pi] for pi in pis):
+                spans = []
+                for pi in pis:
+                    s = np.array([a for a, _ in per_phrase[pi]], dtype=np.int64)
+                    e = np.array([b - 1 for _, b in per_phrase[pi]], dtype=np.int64)
+                    spans.append((s, e))
+                surv = near_surviving(spans, node.near_n)
+                for j, pi in enumerate(pis):
+                    per_phrase[pi] = [
+                        inst for ok, inst in zip(surv[j], per_phrase[pi]) if ok
+                    ]
+            return
+        for c in node.children:
+            walk(c)
+
+    walk(tree)
+    keep = sorted(visible)
+    return (
+        [slots_list[i] for i in keep],
+        [anchored[i] for i in keep],
+        [per_phrase[i] for i in keep],
+    )

@@ -541,22 +541,16 @@ class SearchEngine:
         whose branch contributes nothing for that row (fuzz-found via
         '(a OR b) AND c OR d': a doc matching a∧d but not c highlights only
         d)."""
-        from .query.snippet import (
-            make_snippet,
-            phrase_slot_table,
-            visible_phrase_indexes,
-        )
+        from .query.snippet import make_snippet, phrase_slot_table, snippet_plan
 
         slots_list, anchored = phrase_slot_table(phrases, expansions)
         titles: list[str] = []
         bodies: list[str] = []
         for text in texts:
             text = text or ""
-            vis = sorted(visible_phrase_indexes(tree, slots_list, anchored, text))
-            f_slots = [slots_list[i] for i in vis]
-            f_anch = [anchored[i] for i in vis]
-            titles.append(make_snippet(text, f_slots, f_anch, 16))
-            bodies.append(make_snippet(text, f_slots, f_anch, 60))
+            fs, fa, fi = snippet_plan(tree, slots_list, anchored, text)
+            titles.append(make_snippet(text, fs, fa, 16, per_phrase=fi))
+            bodies.append(make_snippet(text, fs, fa, 60, per_phrase=fi))
         return titles, bodies
 
 

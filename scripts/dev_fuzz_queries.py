@@ -45,11 +45,55 @@ build_index(spark, corpus.web_pages_df(spark, N_DOCS, partitions=8), IDX, n_shar
 eng = SearchEngine(spark, IDX)
 vocab = _vocab(pdf)
 
+def _snippet_diff(q: str) -> str | None:
+    """Byte-compare FTS5 snippet(16/60) vs ours over top-50 rows."""
+    import sqlite3
+
+    from pdfsearch_spark.analyzer import tokenize as _tok, unicode61_tokens as _fold
+    from pdfsearch_spark.query.parser import QuerySyntaxError, parse_query
+    from pdfsearch_spark.query.snippet import make_snippet, snippet_plan
+
+    try:
+        res = oracle.search(q, k=50)
+        tree, phrases = parse_query(q, _tok, _fold)
+    except (sqlite3.OperationalError, QuerySyntaxError):
+        return None
+    if tree is None:
+        return None
+    slots_list, anchored = [], []
+    vocab_terms = oracle.vocab_terms()["term"].tolist()
+    for p in sorted(phrases, key=lambda p: p.index):
+        if p.col == "unindexed":
+            slots_list.append([frozenset()])
+            anchored.append(False)
+            continue
+        slots = [frozenset([t]) for t in p.terms]
+        if p.prefix:
+            slots[-1] = frozenset(t for t in vocab_terms if t.startswith(p.terms[-1]))
+        slots_list.append(slots)
+        anchored.append(p.anchored)
+    texts = {fnv(u): t for u, t in zip(pdf["url"], pdf["text"])}
+    for r in res:
+        t = texts[r.doc_id]
+        fs, fa, fi = snippet_plan(tree, slots_list, anchored, t)
+        if (
+            make_snippet(t, fs, fa, 16, per_phrase=fi) != r.title
+            or make_snippet(t, fs, fa, 60, per_phrase=fi) != r.text
+        ):
+            return f"q={q!r} doc={r.doc_id}: snippet mismatch"
+    return None
+
+
+from pdfsearch_spark.fnv import fnv1_64_signed as fnv  # noqa: E402
+
 fails = 0
+with_snippets = "--snippets" in sys.argv
 for qi in range(N):
     rng = np.random.Generator(np.random.Philox(key=[SEED, qi]))
     q = _gen_query(rng, vocab)
     msg = _diff_one(eng, oracle, q)
+    if msg is None and with_snippets:
+        msg = _snippet_diff(q)
     if msg is not None:
         fails += 1
         print(f"[FAIL] {msg}")

@@ -12,7 +12,7 @@ from pdfsearch_spark import corpus
 from pdfsearch_spark.analyzer import tokenize, unicode61_tokens
 from pdfsearch_spark.fnv import fnv1_64_signed
 from pdfsearch_spark.query.parser import parse_query
-from pdfsearch_spark.query.snippet import make_snippet, visible_phrase_indexes
+from pdfsearch_spark.query.snippet import make_snippet, snippet_plan
 
 QUERIES = [
     x["query"]
@@ -50,13 +50,11 @@ def test_snippets_byte_identical(q, oracle, corpus_pdf):
     tree, slots_list, anchored = _phrase_slots(q, oracle)
     for r in res:
         t = text_by_id[r.doc_id]
-        vis = sorted(visible_phrase_indexes(tree, slots_list, anchored, t))
-        f_slots = [slots_list[i] for i in vis]
-        f_anch = [anchored[i] for i in vis]
-        assert make_snippet(t, f_slots, f_anch, 16) == r.title, (
+        fs, fa, fi = snippet_plan(tree, slots_list, anchored, t)
+        assert make_snippet(t, fs, fa, 16, per_phrase=fi) == r.title, (
             f"q={q!r} doc={r.doc_id} 16-token snippet mismatch"
         )
-        assert make_snippet(t, f_slots, f_anch, 60) == r.text, (
+        assert make_snippet(t, fs, fa, 60, per_phrase=fi) == r.text, (
             f"q={q!r} doc={r.doc_id} 60-token snippet mismatch"
         )
 
