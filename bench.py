@@ -322,8 +322,15 @@ def scaling(sf: float, n_docs: int):
              "--scaling-worker", str(cpus)],
             capture_output=True, text=True, env=os.environ.copy(),
         )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        json_lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not json_lines:
+            sys.stderr.write(
+                f"scaling worker local[{cpus}] produced no JSON "
+                f"(rc={proc.returncode})\n--- worker stdout ---\n{proc.stdout[-4000:]}"
+                f"\n--- worker stderr ---\n{proc.stderr[-8000:]}\n"
+            )
+            raise SystemExit(1)
+        r = json.loads(json_lines[-1])
         build, times = r["build"], r["times"]
         results[cpus] = {
             "baseline_sec": round(r["baseline_sec"], 2),

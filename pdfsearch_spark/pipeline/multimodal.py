@@ -57,7 +57,10 @@ def _histogram(buf: bytes, n_bins: int) -> list[float]:
         return [0.0] * n_bins
     arr = np.frombuffer(buf, dtype=np.uint8)
     hist = np.bincount(arr >> 4 if n_bins == 16 else arr % n_bins, minlength=n_bins)
-    return (hist / len(arr)).astype(np.float64).round(6).tolist()
+    # full-precision IEEE division (count/len): downstream consumers round at
+    # their own precision; rounding here would make cross-engine comparison
+    # depend on numpy's banker's rounding
+    return (hist / len(arr)).astype(np.float64).tolist()
 
 
 def byte_histogram_features(media_df: DataFrame, n_bins: int = N_BINS) -> DataFrame:

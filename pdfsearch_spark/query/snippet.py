@@ -248,9 +248,27 @@ def snippet_series(
     )
 
 
+class PrefixSet:
+    """Set-like slot matcher for prefix phrases: contains every term starting
+    with ``prefix``. Lets the snippet path highlight ``pref*`` matches in the
+    ≤k emitted rows without anyone materializing the full vocabulary
+    expansion (at web scale ``a*`` expands to millions of terms; the slot
+    test only ever asks membership of the ≤dl tokens of one document)."""
+
+    __slots__ = ("prefix",)
+
+    def __init__(self, prefix: str) -> None:
+        self.prefix = prefix
+
+    def __contains__(self, term: object) -> bool:
+        return isinstance(term, str) and term.startswith(self.prefix)
+
+
 def phrase_slot_table(phrases, expansions) -> tuple[list, list]:
     """Per-slot allowed-term sets + anchored flags, aligned to phrase INDEX
-    (an unindexed-column phrase gets an impossible slot so indexes line up)."""
+    (an unindexed-column phrase gets an impossible slot so indexes line up).
+    A prefix phrase without a driver-materialized expansion list gets a
+    PrefixSet matcher instead."""
     slots_list: list[list[frozenset[str]]] = []
     anchored: list[bool] = []
     for p in sorted(phrases, key=lambda p: p.index):
@@ -260,7 +278,8 @@ def phrase_slot_table(phrases, expansions) -> tuple[list, list]:
             continue
         slots = [frozenset([t]) for t in p.terms]
         if p.prefix:
-            slots[-1] = frozenset(expansions.get(p.index, []))
+            exp = expansions.get(p.index)
+            slots[-1] = frozenset(exp) if exp is not None else PrefixSet(p.terms[-1])
         slots_list.append(slots)
         anchored.append(p.anchored)
     return slots_list, anchored

@@ -61,13 +61,15 @@ class SearchEngine:
         ).persist()
         self._documents = spark.read.parquet(os.path.join(index_dir, "documents"))
         self._doc_text = spark.read.parquet(os.path.join(index_dir, "doc_text"))
-        # Driver-side dictionary caches. An engine is bound to one index
-        # snapshot (Spark caches the parquet file listing at first action;
-        # a refresh needs a new SearchEngine), so term→df and prefix→terms
-        # results are immutable for this engine's lifetime — repeated query
-        # vocabulary skips the dictionary job entirely.
+        # Driver-side df cache. An engine is bound to one index snapshot
+        # (Spark caches the parquet file listing at first action; a refresh
+        # needs a new SearchEngine), so term→df results are immutable for
+        # this engine's lifetime — repeated query vocabulary skips the
+        # dictionary job entirely. Prefixes are deliberately NOT expanded
+        # driver-side: expansion happens per shard against the pruned scan
+        # (scorer.score_shard), so `a*` over a web-scale vocabulary never
+        # materializes millions of terms on the driver.
         self._df_cache: dict[str, int] = {}
-        self._prefix_cache: dict[str, list[str]] = {}
 
     def _dfs_of(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
@@ -82,39 +84,35 @@ class SearchEngine:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
-    def _expand_prefix(self, pref: str) -> list[str]:
-        hit = self._prefix_cache.get(pref)
-        if hit is None:
-            hit = [
-                r["term"]
-                for r in self._term_stats.filter(
-                    F.col("term").startswith(pref)
-                ).select("term").collect()
-            ]
-            self._prefix_cache[pref] = hit
-        return hit
-
     # ---- planning -----------------------------------------------------
 
     def _plan(self, query: str):
-        tree, phrases = parse_query(query, tokenize, unicode61_tokens)
-        expansions: dict[int, list[str]] = {}
-        for p in phrases:
-            if p.prefix:
-                expansions[p.index] = self._expand_prefix(p.terms[-1])
-        return tree, phrases, expansions
+        return parse_query(query, tokenize, unicode61_tokens)
 
-    def _needed_terms(self, phrases: list[Phrase], expansions) -> list[str]:
-        out: set[str] = set()
+    @staticmethod
+    def _scan_predicate(phrases: list[Phrase]):
+        """(exact terms, prefixes) → pushdown-able postings-scan filter.
+
+        Prefix phrases push ``startswith(pref)`` into the scan itself —
+        parquet row-group min/max stats on the sorted ``term`` column prune
+        for a StringStartsWith exactly like they do for In, and no term list
+        ever lands on the driver."""
+        exact: set[str] = set()
+        prefixes: set[str] = set()
         for p in phrases:
             if p.col == "unindexed":
                 continue
             if p.prefix:
-                out.update(p.terms[:-1])
-                out.update(expansions.get(p.index, []))
+                exact.update(p.terms[:-1])
+                prefixes.add(p.terms[-1])
             else:
-                out.update(p.terms)
-        return sorted(out)
+                exact.update(p.terms)
+        if not exact and not prefixes:
+            return None
+        cond = F.col("term").isin(sorted(exact)) if exact else F.lit(False)
+        for pref in sorted(prefixes):
+            cond = cond | F.col("term").startswith(pref)
+        return cond
 
     # ---- execution ----------------------------------------------------
 
@@ -134,12 +132,12 @@ class SearchEngine:
         if not query or not query.strip():
             return spark.createDataFrame([], schema=RESULT_SCHEMA)
 
-        tree, phrases, expansions = self._plan(query)
-        terms = self._needed_terms(phrases, expansions)
-        if not terms:
+        tree, phrases = self._plan(query)
+        cond = self._scan_predicate(phrases) if tree is not None else None
+        if cond is None:
             return spark.createDataFrame([], schema=RESULT_SCHEMA)
 
-        postings = self._postings.filter(F.col("term").isin(terms))
+        postings = self._postings.filter(cond)
 
         fast = all(
             len(p.terms) == 1 and not p.prefix and not p.anchored and p.col != "unindexed"
@@ -149,7 +147,7 @@ class SearchEngine:
         if fast:
             scored = self._run_fast(postings, tree, phrases, k, book_ids)
         else:
-            scored = self._run_general(postings, tree, phrases, expansions, k, book_ids)
+            scored = self._run_general(postings, tree, phrases, k, book_ids)
 
         topk_rows = (
             scored.orderBy(F.col("score").asc(), F.col("doc_id").asc()).limit(k).collect()
@@ -180,7 +178,7 @@ class SearchEngine:
             # snippets are a ≤k-row presentation concern — driver-side pandas,
             # not a cluster stage (reference computes them per emitted row too)
             titles, bodies = self._snippet_pair(
-                [texts.get(i, "") for i in ids], tree, phrases, expansions
+                [texts.get(i, "") for i in ids], tree, phrases, {}
             )
         else:
             meta = {
@@ -249,9 +247,10 @@ class SearchEngine:
 
         return postings.groupBy("shard").applyInPandas(fn, schema="doc_id long, score double")
 
-    def _run_general(self, postings, tree, phrases, expansions, k, book_ids):
+    def _run_general(self, postings, tree, phrases, k, book_ids):
         """Match pass emits rows + df sentinels; scoring is a codegen'd
-        Spark expression after the tiny df reduce."""
+        Spark expression after the tiny df reduce. Prefix phrases expand
+        per shard inside score_shard (no driver-side expansion)."""
         P = len(phrases)
         n_docs, avgdl = self.n_docs, self.avgdl
         books = np.array(sorted(book_ids), dtype=np.int64) if book_ids else None
@@ -266,7 +265,7 @@ class SearchEngine:
                     "is_stats": pd.Series(dtype="bool"),
                 }
             )
-            res = score_shard(pdf, tree, phrases, expansions, n_docs, avgdl, None, k)
+            res = score_shard(pdf, tree, phrases, {}, n_docs, avgdl, None, k)
             if res is None:
                 return empty
             matched, mdl, mvis, local_dfs = res
@@ -366,27 +365,25 @@ class SearchEngine:
                 [], schema="query_id int, doc_id long, score double, rank int"
             )
 
-        # ONE dictionary lookup for every query's terms + prefix expansions
-        # (df comes along for free → a-priori idfs for the WAND-able queries)
-        cond = F.col("term").isin(sorted(all_terms)) if all_terms else F.lit(False)
-        for pref in prefixes:
-            cond = cond | F.col("term").startswith(pref)
-        df_map = {
-            r["term"]: int(r["df"])
-            for r in self._term_stats.filter(cond).select("term", "df").collect()
-        }
-        vocab = list(df_map)
-        expansions_by_q: dict[int, dict[int, list[str]]] = {}
-        needed: set[str] = set(all_terms)
-        for qid, _tree, phrases in parsed:
-            exp: dict[int, list[str]] = {}
-            for p in phrases:
-                if p.prefix:
-                    exp[p.index] = [t for t in vocab if t.startswith(p.terms[-1])]
-                    needed.update(exp[p.index])
-            expansions_by_q[qid] = exp
+        # ONE dictionary lookup for every query's EXACT terms (df → a-priori
+        # idfs for the WAND-able queries). Prefixes never touch the driver:
+        # they push startswith predicates into the scan and expand per shard
+        # inside score_shard.
+        df_map = (
+            {
+                r["term"]: int(r["df"])
+                for r in self._term_stats.filter(
+                    F.col("term").isin(sorted(all_terms))
+                ).select("term", "df").collect()
+            }
+            if all_terms
+            else {}
+        )
 
-        postings = self._postings.filter(F.col("term").isin(sorted(needed)))
+        cond = F.col("term").isin(sorted(all_terms)) if all_terms else F.lit(False)
+        for pref in sorted(prefixes):
+            cond = cond | F.col("term").startswith(pref)
+        postings = self._postings.filter(cond)
         # plan entry: (qid, tree, phrases, expansions, P, wand_idfs|None) —
         # pure conjunctions of plain terms run block-max WAND per shard and
         # emit only their per-shard top-k (scored); the rest emit matches +
@@ -405,7 +402,7 @@ class SearchEngine:
                 if fast
                 else None
             )
-            plan.append((qid, tree, phrases, expansions_by_q[qid], len(phrases), wand_idfs))
+            plan.append((qid, tree, phrases, {}, len(phrases), wand_idfs))
         n_docs, avgdl = self.n_docs, self.avgdl
 
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:

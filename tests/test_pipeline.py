@@ -1,0 +1,80 @@
+"""Training-data pipeline op unit tests (no Spark needed for the pure
+kernels; the Spark↔DuckDB cross-engine checks run via __spark_entry__
+oracles — scripts/dev_check_oracles.py and the driver's CORRECTNESS gate).
+
+winnow_fingerprints is differential-tested against a direct transcription
+of the winnowing definition (Schleimer et al., SIGMOD'03: k-gram polynomial
+hashes, min per w-window, rightmost-min rule, consecutive dedup) — the
+library implementation is fully vectorized and must match the naive loop
+bit-for-bit."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pdfsearch_spark.pipeline.multimodal import _histogram
+from pdfsearch_spark.pipeline.textstats import _B, _MOD, _winnow_one
+
+
+def _winnow_naive(text: str, k: int, w: int) -> list[int]:
+    cps = [ord(c) for c in text]
+    n = len(cps)
+    if n < k:
+        return []
+    hashes = []
+    for i in range(n - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * _B + cps[i + j]) % _MOD
+        hashes.append(h)
+    if len(hashes) <= w:
+        return [min(hashes)]
+    out: list[int] = []
+    last = -1
+    for i in range(len(hashes) - w + 1):
+        win = hashes[i : i + w]
+        mn = min(win)
+        j = i + max(idx for idx, v in enumerate(win) if v == mn)
+        if j != last:
+            out.append(hashes[j])
+            last = j
+    return out
+
+
+def test_winnow_matches_naive_random():
+    rng = random.Random(7)
+    alphabet = string.ascii_lowercase + " .0é世"
+    for _ in range(400):
+        n = rng.randint(0, 60)
+        t = "".join(rng.choice(alphabet) for _ in range(n))
+        assert _winnow_one(t, 8, 4) == _winnow_naive(t, 8, 4), repr(t)
+
+
+def test_winnow_edges():
+    assert _winnow_one("", 8, 4) == []
+    assert _winnow_one("short", 8, 4) == []  # n < k
+    # n == k: single hash, <= w  -> [min]
+    t = "exactly8"
+    assert _winnow_one(t, 8, 4) == _winnow_naive(t, 8, 4)
+    # repeated text: consecutive-dedup collapses runs
+    t = "abcabcabcabcabcabc"
+    assert _winnow_one(t, 8, 4) == _winnow_naive(t, 8, 4)
+
+
+def test_winnow_hash_fits_31_bits():
+    # the packed (hash, pos) windowed-min key and the DuckDB oracle both
+    # rely on hashes staying under 2^31
+    assert _MOD < 1 << 31
+    vals = _winnow_one("the quick brown fox jumps over the lazy dog" * 20, 8, 4)
+    assert vals and all(0 <= v < _MOD for v in vals)
+
+
+def test_histogram_shape_and_mass():
+    h = _histogram(b"", 16)
+    assert h == [0.0] * 16
+    h = _histogram(bytes(range(256)) * 3, 16)
+    assert len(h) == 16
+    assert abs(sum(h) - 1.0) < 1e-12
+    # byte 0x00-0x0f -> bin 0 etc.
+    assert h[0] == 16 * 3 / 768

@@ -150,3 +150,18 @@ def test_result_shape_and_join(engine, corpus_pdf):
     for r in rows:
         assert r["base_name"] == by_url[r["doc_id"]]
         assert r["part"] == 0
+
+
+@pytest.mark.parametrize("q", ["b*", "s* OR r*", '"renal f*"', "NEAR(run d*, 5)"])
+def test_high_fanout_prefix_rank_identical(engine, oracle, q):
+    """Web-scale prefix shapes: single-letter prefixes expand to a large
+    slice of the vocabulary. The engine must stay rank-identical WITHOUT any
+    driver-side expansion — since round 2 the prefix predicate pushes into
+    the postings scan (search.SearchEngine._scan_predicate) and expansion
+    happens per shard (scorer.score_shard); there is no driver expansion
+    path left (SearchEngine has no _expand_prefix / _prefix_cache)."""
+    assert not hasattr(engine, "_expand_prefix")
+    assert not hasattr(engine, "_prefix_cache")
+    _assert_rank_identical(
+        _oracle_pairs(oracle, q, 200), _engine_pairs(engine, q, 200), q
+    )
