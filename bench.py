@@ -109,6 +109,42 @@ def run_build_and_search(
     return metrics, times
 
 
+def run_refresh_bench(
+    spark, n_docs: int, index_dir: str, partitions: int | None = None
+) -> dict[str, float]:
+    """Refresh + compaction at bench scale: append 10% new docs as a segment
+    (refresh_index anti-joins/watermarks away the already-indexed ids), re-run
+    3 FTS queries against the refreshed multi-segment index, compact back to
+    one segment, re-run again. Post-refresh rank-identity vs the FTS5 oracle
+    is proven in tests/test_refresh.py; this entry measures the cost."""
+    from pdfsearch_spark import corpus
+    from pdfsearch_spark.index_build import compact_index, refresh_index
+    from pdfsearch_spark.search import SearchEngine
+
+    times: dict[str, float] = {}
+    n_new = max(1, n_docs // 10)
+    pages = corpus.web_pages_df(
+        spark, n_docs + n_new, partitions=partitions or max(2 * CPUS, 16)
+    )
+    t0 = time.time()
+    refresh_index(spark, pages, index_dir)
+    times["refresh_append_10pct"] = round(time.time() - t0, 3)
+    eng = SearchEngine(spark, index_dir)  # new engine: new index snapshot
+    for q in FTS_QUERIES[:3]:
+        t0 = time.time()
+        eng.search(q, k=10, with_snippets=False).collect()
+        times[f"fts_post_refresh:{q}"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    compact_index(spark, index_dir)
+    times["compact"] = round(time.time() - t0, 3)
+    eng = SearchEngine(spark, index_dir)
+    for q in FTS_QUERIES[:3]:
+        t0 = time.time()
+        eng.search(q, k=10, with_snippets=False).collect()
+        times[f"fts_post_compact:{q}"] = round(time.time() - t0, 3)
+    return times
+
+
 def run_pipeline(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -167,6 +203,7 @@ def bench_once(
             partitions=partitions,
         )
         if with_pipeline:
+            times.update(run_refresh_bench(spark, n_docs, INDEX_DIR, partitions))
             times.update(run_pipeline(spark, sf_dir))
         return build, times
     finally:
@@ -336,6 +373,7 @@ def scaling(sf: float, n_docs: int):
             "baseline_sec": round(r["baseline_sec"], 2),
             "string_baseline_sec": round(r["string_baseline_sec"], 2),
             "build_sec": round(build["elapsed_sec"], 2),
+            "phase_sec": build.get("phase_sec", {}),
             "docs_per_sec": round(build["docs_per_sec"], 1),
             "postings_per_sec": round(build["postings_per_sec"], 1),
             "fts_mean_query_sec": round(

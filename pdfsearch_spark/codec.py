@@ -231,14 +231,26 @@ def encode_shard_frame(
         gaps[1:] = u[1:] - u[:-1]
     gaps[bs] = (u[bs] << np.uint64(1)) ^ (doc_ids[bs] >> np.int64(63)).view(np.uint64)
 
-    # position stream: per posting [count, p0, gaps...]
-    plens = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
-    total_p = int(plens.sum())
-    flat = (
-        np.concatenate(positions).astype(np.int64)
-        if total_p
-        else np.zeros(0, dtype=np.int64)
-    )
+    # position stream: per posting [count, p0, gaps...]. ``positions`` is
+    # either a list of per-posting position sequences, or — fast path from
+    # the packed shuffle payload — an already-flattened (flat, plens) tuple.
+    if isinstance(positions, tuple):
+        flat, plens = positions
+        plens = np.ascontiguousarray(plens, dtype=np.int64)
+        total_p = int(plens.sum())
+        flat = (
+            np.ascontiguousarray(flat, dtype=np.int64)
+            if total_p
+            else np.zeros(0, dtype=np.int64)
+        )
+    else:
+        plens = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
+        total_p = int(plens.sum())
+        flat = (
+            np.concatenate(positions).astype(np.int64)
+            if total_p
+            else np.zeros(0, dtype=np.int64)
+        )
     fstarts = np.zeros(n, dtype=np.int64)
     np.cumsum(plens[:-1], out=fstarts[1:])
     d = np.empty(total_p, dtype=np.int64)

@@ -72,17 +72,23 @@ TERMROW_SCHEMA = StructType(
     ]
 )
 
-# doc-grouped variant: ONE row per doc through the wide shuffle (arrays of
-# per-term data) instead of ~|vocab per doc| tiny rows — same bytes, ~100x
-# fewer per-row Arrow/Tungsten fixed costs on both sides of the exchange
+# doc-grouped variant: ONE row per doc through the wide shuffle, with the
+# per-term data PACKED into three binary columns (terms '\0'-joined; tfs and
+# position deltas as LEB128 streams) instead of nested arrays. Two wins over
+# array<string>/array<array<int>>: ~100x fewer per-row Arrow/Tungsten fixed
+# costs, and ~3x fewer bytes through the exchange and BOTH Arrow crossings —
+# shuffle bytes per token is the build's scaling currency at 100 TB, and on
+# this host the exposed exchange/write I/O at high core counts was the one
+# non-scaling phase (BENCH/BASELINE.md).
 DOC_TERMS_SCHEMA = StructType(
     [
         StructField("shard", IntegerType()),
         StructField("doc_id", LongType()),
         StructField("dl", IntegerType()),
-        StructField("terms", ArrayType(StringType())),
-        StructField("tfs", ArrayType(IntegerType())),
-        StructField("positions", ArrayType(ArrayType(IntegerType()))),
+        StructField("n_terms", IntegerType()),
+        StructField("terms_cat", BinaryType()),
+        StructField("tf_blob", BinaryType()),
+        StructField("pos_blob", BinaryType()),
     ]
 )
 
@@ -183,17 +189,34 @@ def extract_documents(pages: DataFrame, n_shards: int) -> DataFrame:
 
 def term_rows(docs: DataFrame) -> DataFrame:
     """Stage 2 (narrow): per-doc term aggregation inside the UDF — one row
-    per DOC with per-term arrays (term, tf, positions). This is the map-side
-    combine; grouping by doc rather than emitting a row per (doc, term)
-    keeps the wide shuffle at ~1/100th the row count for the same bytes.
+    per DOC with PACKED per-term payloads. This is the map-side combine;
+    grouping by doc keeps the wide shuffle at ~1/100th the row count, and
+    packing (terms '\\0'-joined; tfs + per-term position deltas as two
+    LEB128 streams, ONE vectorized _varint_stream call per Arrow batch each)
+    cuts the bytes the exchange and both Arrow crossings carry ~3x vs the
+    nested-array layout.
     """
 
     def batches(it):
-        from .analyzer import tokenize
+        from itertools import chain
 
+        from .analyzer import tokenize
+        from .codec import _varint_stream
+
+        empty = {
+            "shard": pd.Series(dtype="int32"),
+            "doc_id": pd.Series(dtype="int64"),
+            "dl": pd.Series(dtype="int32"),
+            "n_terms": pd.Series(dtype="int32"),
+            "terms_cat": pd.Series(dtype="object"),
+            "tf_blob": pd.Series(dtype="object"),
+            "pos_blob": pd.Series(dtype="object"),
+        }
         for pdf in it:
-            out_shard, out_doc, out_dl = [], [], []
-            out_terms, out_tfs, out_pos = [], [], []
+            out_shard, out_doc, out_dl, out_nt = [], [], [], []
+            terms_cat: list[bytes] = []
+            tf_arrays: list[np.ndarray] = []
+            delta_arrays: list[np.ndarray] = []
             for shard, doc_id, text in zip(pdf["shard"], pdf["doc_id"], pdf["text"]):
                 toks = tokenize(text)
                 if not toks:
@@ -201,20 +224,49 @@ def term_rows(docs: DataFrame) -> DataFrame:
                 agg: dict[str, list[int]] = {}
                 for pos, t in enumerate(toks):
                     agg.setdefault(t, []).append(pos)
+                nt = len(agg)
+                tfs = np.fromiter(
+                    (len(v) for v in agg.values()), dtype=np.int64, count=nt
+                )
+                flat = np.fromiter(
+                    chain.from_iterable(agg.values()), dtype=np.int64, count=len(toks)
+                )
+                # positions per term are strictly increasing: store absolute
+                # first + gaps (same shape the on-disk codec uses)
+                deltas = flat.copy()
+                deltas[1:] -= flat[:-1]
+                starts = np.zeros(nt, dtype=np.int64)
+                np.cumsum(tfs[:-1], out=starts[1:])
+                deltas[starts] = flat[starts]
                 out_shard.append(shard)
                 out_doc.append(doc_id)
                 out_dl.append(len(toks))
-                out_terms.append(list(agg.keys()))
-                out_tfs.append([len(p) for p in agg.values()])
-                out_pos.append(list(agg.values()))
+                out_nt.append(nt)
+                terms_cat.append("\0".join(agg.keys()).encode("utf-8"))
+                tf_arrays.append(tfs)
+                delta_arrays.append(deltas)
+            if not out_doc:
+                yield pd.DataFrame(empty)
+                continue
+            nd = len(out_doc)
+
+            def _pack(arrays: list[np.ndarray]) -> list[bytes]:
+                counts = np.fromiter((len(a) for a in arrays), np.int64, nd)
+                buf, offs = _varint_stream(np.concatenate(arrays))
+                bounds = np.zeros(nd + 1, dtype=np.int64)
+                np.cumsum(counts, out=bounds[1:])
+                cuts = offs[bounds]
+                return [buf[cuts[i] : cuts[i + 1]].tobytes() for i in range(nd)]
+
             yield pd.DataFrame(
                 {
                     "shard": pd.Series(out_shard, dtype="int32"),
                     "doc_id": pd.Series(out_doc, dtype="int64"),
                     "dl": pd.Series(out_dl, dtype="int32"),
-                    "terms": out_terms,
-                    "tfs": out_tfs,
-                    "positions": out_pos,
+                    "n_terms": pd.Series(out_nt, dtype="int32"),
+                    "terms_cat": terms_cat,
+                    "tf_blob": _pack(tf_arrays),
+                    "pos_blob": _pack(delta_arrays),
                 }
             )
 
@@ -254,34 +306,50 @@ def encode_shard_postings(avgdl: float, metrics_acc=None, segment: int = 0):
             return pd.DataFrame(columns=[f.name for f in POSTING_SCHEMA.fields])
         t0 = time.perf_counter()
         shard = int(pdf["shard"].iloc[0])
-        if "terms" in pdf.columns:
-            # doc-grouped input (term_rows): flatten per-doc arrays, then one
-            # lexsort by (term, doc_id) — replaces a 100x-larger row-at-a-time
-            # pandas sort
-            from itertools import chain
+        if "terms_cat" in pdf.columns:
+            # doc-grouped packed input (term_rows): decode the three LEB128/
+            # '\0'-joined payloads vectorized, then one lexsort by
+            # (term, doc_id) — no per-posting Python anywhere
+            from .codec import varint_decode
 
-            lens = np.fromiter(
-                (len(t) for t in pdf["terms"]), dtype=np.int64, count=len(pdf)
-            )
-            doc_flat = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
-            dl_flat = np.repeat(pdf["dl"].to_numpy(np.int64), lens)
-            terms_flat = np.fromiter(
-                chain.from_iterable(pdf["terms"]), dtype=object, count=int(lens.sum())
-            )
-            tf_flat = np.fromiter(
-                chain.from_iterable(pdf["tfs"]), dtype=np.int64, count=int(lens.sum())
-            )
-            pos_flat = list(chain.from_iterable(pdf["positions"]))
+            nt = pdf["n_terms"].to_numpy(np.int64)
+            n_post = int(nt.sum())
+            doc_flat = np.repeat(pdf["doc_id"].to_numpy(np.int64), nt)
+            dl_flat = np.repeat(pdf["dl"].to_numpy(np.int64), nt)
+            terms_flat = np.empty(n_post, dtype=object)
+            i = 0
+            for tc in pdf["terms_cat"]:
+                parts = bytes(tc).decode("utf-8").split("\0")
+                terms_flat[i : i + len(parts)] = parts
+                i += len(parts)
+            tf_flat = varint_decode(b"".join(pdf["tf_blob"])).astype(np.int64)
+            vals = varint_decode(b"".join(pdf["pos_blob"])).astype(np.int64)
+            # segmented prefix-sum turns [abs0, gap1, ...] back into absolute
+            # positions: c - c[segment start] + first value of the segment
+            plens = tf_flat
+            pstarts = np.zeros(n_post, dtype=np.int64)
+            np.cumsum(plens[:-1], out=pstarts[1:])
+            c = np.cumsum(vals)
+            base = np.repeat(c[pstarts] - vals[pstarts], plens)
+            abs_flat = c - base
             order = np.lexsort((doc_flat, terms_flat))
+            # gather the variable-length position segments into sorted order
+            ln = plens[order]
+            lo = pstarts[order]
+            out_start = np.zeros(n_post, dtype=np.int64)
+            np.cumsum(ln[:-1], out=out_start[1:])
+            idx = np.repeat(lo - out_start, ln) + np.arange(
+                int(ln.sum()), dtype=np.int64
+            )
             cols = encode_shard_frame(
                 terms_flat[order],
                 doc_flat[order],
                 tf_flat[order],
                 dl_flat[order],
-                [pos_flat[i] for i in order],
+                (abs_flat[idx], ln),
                 avgdl,
             )
-            n_postings = int(lens.sum())
+            n_postings = n_post
         else:
             # flat (term-major) input — the compaction path (decoded_term_rows)
             pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
