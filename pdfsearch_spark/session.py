@@ -53,6 +53,12 @@ def get_spark(
         # partitioned-output file serially on the driver, a pure-Amdahl cost
         # that caps scaling once compute is spread over enough cores
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # zstd for all parquet writes: ~25-35% fewer bytes than snappy on the
+        # varint posting blobs and stored text. The extra encode CPU is paid
+        # where cores are abundant, the bytes saved where write bandwidth is
+        # the constraint — exactly the trade a 100 TB index wants (and on
+        # this host it is what lets the write phase scale with cores).
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
