@@ -388,9 +388,17 @@ def scaling(sf: float, n_docs: int):
     rep_ceiling = (
         results[8]["string_baseline_sec"] / results[32]["string_baseline_sec"] / 4
     )
+    try:
+        git_rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except OSError:
+        git_rev = ""
     out = {
         "sf": sf,
         "corpus_docs": n_docs,
+        "git": git_rev,
         "local8": results[8],
         "local32": results[32],
         "scaling_efficiency": round(eff, 3),
@@ -415,11 +423,23 @@ def scaling(sf: float, n_docs: int):
             except ValueError:
                 pass
     hist_rows = "\n".join(
-        f"| {h['corpus_docs']} | {h['local8']['docs_per_sec']} | "
+        f"| {h.get('git', 'r1')} | {h['corpus_docs']} | {h['local8']['docs_per_sec']} | "
         f"{h['local32']['docs_per_sec']} | {h['scaling_efficiency']} | "
         f"{h.get('representative_ceiling_efficiency', h.get('hardware_ceiling_efficiency', ''))} | "
         f"{h['ceiling_normalized_efficiency']} |"
         for h in history
+    )
+    cur = [h for h in history if h.get("git") == git_rev] or history
+    med = sorted(
+        h["ceiling_normalized_efficiency"] for h in cur
+        if h["ceiling_normalized_efficiency"] is not None
+    )
+    med_norm = med[len(med) // 2] if len(med) % 2 else round(
+        (med[len(med) // 2 - 1] + med[len(med) // 2]) / 2, 3
+    )
+    med_raw = sorted(h["scaling_efficiency"] for h in cur)
+    med_raw = med_raw[len(med_raw) // 2] if len(med_raw) % 2 else round(
+        (med_raw[len(med_raw) // 2 - 1] + med_raw[len(med_raw) // 2]) / 2, 3
     )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -470,8 +490,13 @@ measured best-of-2, queries best-of-2, baselines best-of-2.
 
 ## Run history (shared-host variance is large; judge the distribution)
 
-| docs | 8c docs/s | 32c docs/s | raw eff | repr ceiling | normalized |
-|---|---|---|---|---|---|
+**Median over runs of the CURRENT code version ({git_rev or 'r1'}): raw
+{med_raw}, normalized {med_norm}.** Rows are tagged with the commit that
+produced them — the r2 shuffle-payload packing + zstd writes changed build
+throughput ~2x, so earlier rows describe earlier code, not this engine.
+
+| code | docs | 8c docs/s | 32c docs/s | raw eff | repr ceiling | normalized |
+|---|---|---|---|---|---|---|
 {hist_rows}
 """
         )
