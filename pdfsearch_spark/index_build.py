@@ -20,10 +20,12 @@ Scale design (the part that must survive 1000 executors × 100 TB):
   "skew-aware splitting of head terms", done by construction rather than by
   salting after the fact). Within a shard doc ids are a contiguous range, so
   delta gaps stay small.
-- one wide shuffle total: (doc_id, term, tf, dl, positions) rows, partitioned
-  by shard. Per-doc tf aggregation happens map-side inside the tokenize UDF
-  (tokens of a doc never leave their input row), so shuffle volume is
-  distinct (doc, term) pairs, not raw tokens.
+- ONE exchange total, and it carries only the extracted documents (text +
+  metadata), clustered by shard. Everything derived from tokens — per-doc tf
+  aggregation, position streams, posting encode — happens map-side over the
+  shard-clustered partitions (encode_docs_partitions): the per-term payload
+  never crosses a shuffle or an Arrow boundary at all. Shuffle bytes per
+  token: zero; shuffle bytes per document: its text, once.
 - ``n_shards`` sizing rule: pick so one shard's posting rows ≈ 100-500 MB in
   flight (n_shards ≈ total_postings × 24 B / 250 MB); at sf0.1 bench scale 32
   matches local[32]; at 10^12 docs this is ~10^5 shards, which Spark handles
@@ -69,26 +71,6 @@ TERMROW_SCHEMA = StructType(
         StructField("tf", IntegerType()),
         StructField("dl", IntegerType()),
         StructField("positions", ArrayType(IntegerType())),
-    ]
-)
-
-# doc-grouped variant: ONE row per doc through the wide shuffle, with the
-# per-term data PACKED into three binary columns (terms '\0'-joined; tfs and
-# position deltas as LEB128 streams) instead of nested arrays. Two wins over
-# array<string>/array<array<int>>: ~100x fewer per-row Arrow/Tungsten fixed
-# costs, and ~3x fewer bytes through the exchange and BOTH Arrow crossings —
-# shuffle bytes per token is the build's scaling currency at 100 TB, and on
-# this host the exposed exchange/write I/O at high core counts was the one
-# non-scaling phase (BENCH/BASELINE.md).
-DOC_TERMS_SCHEMA = StructType(
-    [
-        StructField("shard", IntegerType()),
-        StructField("doc_id", LongType()),
-        StructField("dl", IntegerType()),
-        StructField("n_terms", IntegerType()),
-        StructField("terms_cat", BinaryType()),
-        StructField("tf_blob", BinaryType()),
-        StructField("pos_blob", BinaryType()),
     ]
 )
 
@@ -187,92 +169,6 @@ def extract_documents(pages: DataFrame, n_shards: int) -> DataFrame:
     return pages.mapInPandas(batches, schema=DOCROW_SCHEMA)
 
 
-def term_rows(docs: DataFrame) -> DataFrame:
-    """Stage 2 (narrow): per-doc term aggregation inside the UDF — one row
-    per DOC with PACKED per-term payloads. This is the map-side combine;
-    grouping by doc keeps the wide shuffle at ~1/100th the row count, and
-    packing (terms '\\0'-joined; tfs + per-term position deltas as two
-    LEB128 streams, ONE vectorized _varint_stream call per Arrow batch each)
-    cuts the bytes the exchange and both Arrow crossings carry ~3x vs the
-    nested-array layout.
-    """
-
-    def batches(it):
-        from itertools import chain
-
-        from .analyzer import tokenize
-        from .codec import _varint_stream
-
-        empty = {
-            "shard": pd.Series(dtype="int32"),
-            "doc_id": pd.Series(dtype="int64"),
-            "dl": pd.Series(dtype="int32"),
-            "n_terms": pd.Series(dtype="int32"),
-            "terms_cat": pd.Series(dtype="object"),
-            "tf_blob": pd.Series(dtype="object"),
-            "pos_blob": pd.Series(dtype="object"),
-        }
-        for pdf in it:
-            out_shard, out_doc, out_dl, out_nt = [], [], [], []
-            terms_cat: list[bytes] = []
-            tf_arrays: list[np.ndarray] = []
-            delta_arrays: list[np.ndarray] = []
-            for shard, doc_id, text in zip(pdf["shard"], pdf["doc_id"], pdf["text"]):
-                toks = tokenize(text)
-                if not toks:
-                    continue
-                agg: dict[str, list[int]] = {}
-                for pos, t in enumerate(toks):
-                    agg.setdefault(t, []).append(pos)
-                nt = len(agg)
-                tfs = np.fromiter(
-                    (len(v) for v in agg.values()), dtype=np.int64, count=nt
-                )
-                flat = np.fromiter(
-                    chain.from_iterable(agg.values()), dtype=np.int64, count=len(toks)
-                )
-                # positions per term are strictly increasing: store absolute
-                # first + gaps (same shape the on-disk codec uses)
-                deltas = flat.copy()
-                deltas[1:] -= flat[:-1]
-                starts = np.zeros(nt, dtype=np.int64)
-                np.cumsum(tfs[:-1], out=starts[1:])
-                deltas[starts] = flat[starts]
-                out_shard.append(shard)
-                out_doc.append(doc_id)
-                out_dl.append(len(toks))
-                out_nt.append(nt)
-                terms_cat.append("\0".join(agg.keys()).encode("utf-8"))
-                tf_arrays.append(tfs)
-                delta_arrays.append(deltas)
-            if not out_doc:
-                yield pd.DataFrame(empty)
-                continue
-            nd = len(out_doc)
-
-            def _pack(arrays: list[np.ndarray]) -> list[bytes]:
-                counts = np.fromiter((len(a) for a in arrays), np.int64, nd)
-                buf, offs = _varint_stream(np.concatenate(arrays))
-                bounds = np.zeros(nd + 1, dtype=np.int64)
-                np.cumsum(counts, out=bounds[1:])
-                cuts = offs[bounds]
-                return [buf[cuts[i] : cuts[i + 1]].tobytes() for i in range(nd)]
-
-            yield pd.DataFrame(
-                {
-                    "shard": pd.Series(out_shard, dtype="int32"),
-                    "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "dl": pd.Series(out_dl, dtype="int32"),
-                    "n_terms": pd.Series(out_nt, dtype="int32"),
-                    "terms_cat": terms_cat,
-                    "tf_blob": _pack(tf_arrays),
-                    "pos_blob": _pack(delta_arrays),
-                }
-            )
-
-    return docs.select("shard", "doc_id", "text").mapInPandas(batches, schema=DOC_TERMS_SCHEMA)
-
-
 class _ShardMetricsParam(AccumulatorParam):
     """Sums {shard: [sec, n_postings, n_terms, postings_bytes, pos_bytes]}."""
 
@@ -288,8 +184,115 @@ class _ShardMetricsParam(AccumulatorParam):
         return a
 
 
+def encode_docs_partitions(avgdl: float, metrics_acc=None, segment: int = 0):
+    """mapInPandas body over SHARD-CLUSTERED doc partitions: tokenize →
+    aggregate → encode in ONE Python pass per shard.
+
+    Because ``docs`` is already hash-partitioned by ``shard`` (the build's
+    single text-moving exchange), the per-doc term payload never crosses a
+    shuffle OR an Arrow boundary: tokens go straight from the analyzer's
+    output into the codec's vectorized encoder inside the same worker.
+    This replaces the former term_rows → groupBy(shard).applyInPandas
+    pipeline, which serialized every (term, tf, positions) through one more
+    exchange and two more Arrow crossings — measurably the build's one
+    non-scaling phase (BENCH/BASELINE.md).
+
+    A partition may hold several shards (hash collisions); they are grouped
+    locally. A shard must fit in one task's memory — the same bound
+    applyInPandas imposed — so ``n_shards`` stays the knob that caps
+    per-task state as the corpus grows.
+    """
+
+    def fn(it):
+        from itertools import chain
+
+        from .analyzer import tokenize
+        from .codec import encode_shard_frame
+
+        pdfs = [p for p in it]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if len(pdf) == 0:
+            return
+        for shard, g in pdf.groupby("shard", sort=False):
+            t0 = time.perf_counter()
+            doc_list: list[int] = []
+            dl_list: list[int] = []
+            nt_list: list[int] = []
+            terms_all: list[str] = []
+            tf_arrays: list[np.ndarray] = []
+            pos_arrays: list[np.ndarray] = []
+            for doc_id, text in zip(g["doc_id"], g["text"]):
+                toks = tokenize(text)
+                if not toks:
+                    continue
+                agg: dict[str, list[int]] = {}
+                for pos, t in enumerate(toks):
+                    agg.setdefault(t, []).append(pos)
+                doc_list.append(doc_id)
+                dl_list.append(len(toks))
+                nt_list.append(len(agg))
+                terms_all.extend(agg.keys())
+                tf_arrays.append(
+                    np.fromiter((len(v) for v in agg.values()), np.int64, len(agg))
+                )
+                pos_arrays.append(
+                    np.fromiter(chain.from_iterable(agg.values()), np.int64, len(toks))
+                )
+            if not doc_list:
+                continue
+            nt = np.array(nt_list, dtype=np.int64)
+            n_post = int(nt.sum())
+            doc_flat = np.repeat(np.array(doc_list, dtype=np.int64), nt)
+            dl_flat = np.repeat(np.array(dl_list, dtype=np.int64), nt)
+            terms_flat = np.empty(n_post, dtype=object)
+            terms_flat[:] = terms_all
+            tf_flat = np.concatenate(tf_arrays)
+            abs_flat = np.concatenate(pos_arrays)
+            plens = tf_flat
+            pstarts = np.zeros(n_post, dtype=np.int64)
+            np.cumsum(plens[:-1], out=pstarts[1:])
+            order = np.lexsort((doc_flat, terms_flat))
+            ln = plens[order]
+            lo = pstarts[order]
+            out_start = np.zeros(n_post, dtype=np.int64)
+            np.cumsum(ln[:-1], out=out_start[1:])
+            idx = np.repeat(lo - out_start, ln) + np.arange(
+                int(ln.sum()), dtype=np.int64
+            )
+            cols = encode_shard_frame(
+                terms_flat[order],
+                doc_flat[order],
+                tf_flat[order],
+                dl_flat[order],
+                (abs_flat[idx], ln),
+                avgdl,
+            )
+            out = pd.DataFrame(cols)
+            out.insert(0, "shard", np.int32(shard))
+            out.insert(0, "segment", np.int32(segment))
+            out["enc_avgdl"] = float(avgdl)
+            if metrics_acc is not None:
+                pbytes = int(
+                    sum(len(b) for b in cols["doc_blob"])
+                    + sum(len(b) for b in cols["tf_blob"])
+                    + sum(len(b) for b in cols["dl_blob"])
+                )
+                qbytes = int(sum(len(b) for b in cols["pos_blob"]))
+                metrics_acc.add(
+                    {int(shard): [time.perf_counter() - t0, n_post, len(out), pbytes, qbytes]}
+                )
+            yield out[[f.name for f in POSTING_SCHEMA.fields]]
+
+    return fn
+
+
 def encode_shard_postings(avgdl: float, metrics_acc=None, segment: int = 0):
-    """applyInPandas body: one shard's (doc,term) rows → encoded posting rows.
+    """applyInPandas body: one shard's flat (doc,term) TERMROW_SCHEMA rows →
+    encoded posting rows. This is the COMPACTION re-encode path
+    (decoded_term_rows); fresh builds and refreshes use
+    encode_docs_partitions, which never materializes per-term rows.
 
     ``metrics_acc`` (optional): a dict-summing accumulator fed
     ``{shard: [encode_sec, n_postings, n_terms, postings_bytes,
@@ -306,62 +309,16 @@ def encode_shard_postings(avgdl: float, metrics_acc=None, segment: int = 0):
             return pd.DataFrame(columns=[f.name for f in POSTING_SCHEMA.fields])
         t0 = time.perf_counter()
         shard = int(pdf["shard"].iloc[0])
-        if "terms_cat" in pdf.columns:
-            # doc-grouped packed input (term_rows): decode the three LEB128/
-            # '\0'-joined payloads vectorized, then one lexsort by
-            # (term, doc_id) — no per-posting Python anywhere
-            from .codec import varint_decode
-
-            nt = pdf["n_terms"].to_numpy(np.int64)
-            n_post = int(nt.sum())
-            doc_flat = np.repeat(pdf["doc_id"].to_numpy(np.int64), nt)
-            dl_flat = np.repeat(pdf["dl"].to_numpy(np.int64), nt)
-            terms_flat = np.empty(n_post, dtype=object)
-            i = 0
-            for tc in pdf["terms_cat"]:
-                parts = bytes(tc).decode("utf-8").split("\0")
-                terms_flat[i : i + len(parts)] = parts
-                i += len(parts)
-            tf_flat = varint_decode(b"".join(pdf["tf_blob"])).astype(np.int64)
-            vals = varint_decode(b"".join(pdf["pos_blob"])).astype(np.int64)
-            # segmented prefix-sum turns [abs0, gap1, ...] back into absolute
-            # positions: c - c[segment start] + first value of the segment
-            plens = tf_flat
-            pstarts = np.zeros(n_post, dtype=np.int64)
-            np.cumsum(plens[:-1], out=pstarts[1:])
-            c = np.cumsum(vals)
-            base = np.repeat(c[pstarts] - vals[pstarts], plens)
-            abs_flat = c - base
-            order = np.lexsort((doc_flat, terms_flat))
-            # gather the variable-length position segments into sorted order
-            ln = plens[order]
-            lo = pstarts[order]
-            out_start = np.zeros(n_post, dtype=np.int64)
-            np.cumsum(ln[:-1], out=out_start[1:])
-            idx = np.repeat(lo - out_start, ln) + np.arange(
-                int(ln.sum()), dtype=np.int64
-            )
-            cols = encode_shard_frame(
-                terms_flat[order],
-                doc_flat[order],
-                tf_flat[order],
-                dl_flat[order],
-                (abs_flat[idx], ln),
-                avgdl,
-            )
-            n_postings = n_post
-        else:
-            # flat (term-major) input — the compaction path (decoded_term_rows)
-            pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
-            cols = encode_shard_frame(
-                pdf["term"].to_numpy(),
-                pdf["doc_id"].to_numpy(np.int64),
-                pdf["tf"].to_numpy(np.int64),
-                pdf["dl"].to_numpy(np.int64),
-                pdf["positions"].tolist(),
-                avgdl,
-            )
-            n_postings = len(pdf)
+        pdf = pdf.sort_values(["term", "doc_id"], kind="stable")
+        cols = encode_shard_frame(
+            pdf["term"].to_numpy(),
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["dl"].to_numpy(np.int64),
+            pdf["positions"].tolist(),
+            avgdl,
+        )
+        n_postings = len(pdf)
         out = pd.DataFrame(cols)
         out.insert(0, "shard", shard)
         out.insert(0, "segment", np.int32(segment))
@@ -468,35 +425,27 @@ def build_index(
     watermark = max(wms) if wms else None
     _phase("stats_lineage_agg")
 
-    rows = term_rows(docs)
+    rows = docs.select("shard", "doc_id", "text")
     if only_shards is not None:
         rows = rows.filter(F.col("shard").isin(only_shards))
 
-    # THE wide shuffle: (doc,term) rows → shard groups → encoded postings.
-    # AQE's partition coalescing would merge these small-but-CPU-heavy Python
-    # groups into a handful of tasks (observed 32 shards → 5 tasks), starving
-    # the most expensive stage of parallelism; the byte-size heuristic is
-    # wrong for CPU-bound pandas UDFs, so pin it off for just this write.
+    # Postings, entirely map-side: docs are already shard-clustered (the
+    # build's ONE exchange, above), so tokenize → aggregate → encode runs in
+    # a single mapInPandas over the persisted partitions. No second shuffle,
+    # and the per-term payload never crosses an Arrow boundary.
     shard_metrics_acc = spark.sparkContext.accumulator({}, _ShardMetricsParam())
-    postings = rows.groupBy("shard").applyInPandas(
-        encode_shard_postings(avgdl, shard_metrics_acc), schema=POSTING_SCHEMA
+    postings = rows.mapInPandas(
+        encode_docs_partitions(avgdl, shard_metrics_acc), schema=POSTING_SCHEMA
     )
-    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev = spark.conf.get(coalesce_key, "true")
-    spark.conf.set(coalesce_key, "false")
-    try:
-        postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
-            os.path.join(out_dir, "postings")
-        )
-    finally:
-        spark.conf.set(coalesce_key, prev)
+    postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
+        os.path.join(out_dir, "postings")
+    )
     _phase("postings_shuffle_encode_write")
 
     # Global df/cf per term (for idf at query time) from the postings table
     # itself — a column-pruned scan of (term, df, cf), never touching the
-    # blob columns. This keeps term_rows single-consumer (streams through
-    # the one wide shuffle, nothing cached), and on resume it is global by
-    # construction: the postings dir holds every completed shard.
+    # blob columns. On resume it is global by construction: the postings dir
+    # holds every completed shard.
     post_df = spark.read.parquet(os.path.join(out_dir, "postings"))
     term_stats = post_df.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
@@ -693,8 +642,11 @@ def refresh_index(
         .select("doc_id")
     )
     docs = docs.join(old_ids, "doc_id", "left_anti")
+    # Shard-cluster the segment's docs (same single-exchange layout as the
+    # fresh build; n_spread > n_shards just spreads hash buckets so small
+    # refresh batches still use the cluster's parallelism)
     n_spread = max(n_shards, spark.sparkContext.defaultParallelism * 2)
-    docs = docs.repartition(n_spread).persist()
+    docs = docs.repartition(n_spread, F.col("shard")).persist()
     agg = docs.agg(
         F.count("*").alias("n_new"),
         F.sum("dl").alias("new_tokens"),
@@ -711,24 +663,19 @@ def refresh_index(
     # 1) postings for the new segment (blocks encoded against the NEW avgdl;
     #    older segments' block bounds are rescaled at query time via enc_avgdl)
     shard_metrics_acc = spark.sparkContext.accumulator({}, _ShardMetricsParam())
-    postings = term_rows(docs).groupBy("shard").applyInPandas(
-        encode_shard_postings(avgdl2, shard_metrics_acc, segment=seg),
+    postings = docs.select("shard", "doc_id", "text").mapInPandas(
+        encode_docs_partitions(avgdl2, shard_metrics_acc, segment=seg),
         schema=POSTING_SCHEMA,
     )
-    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev = spark.conf.get(coalesce_key, "true")
-    spark.conf.set(coalesce_key, "false")
-    try:
-        postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
-            os.path.join(out_dir, "postings")
-        )
-    finally:
-        spark.conf.set(coalesce_key, prev)
+    postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
+        os.path.join(out_dir, "postings")
+    )
 
-    # 2) doc_text + documents partitions for the segment
+    # 2) doc_text + documents partitions for the segment (docs are already
+    #    shard-clustered, so the partitioned writes stay ~one file per shard)
     docs.select("shard", "doc_id", "part", "base_name", "text").withColumn(
         "segment", F.lit(seg)
-    ).repartition(n_shards, F.col("shard")).write.partitionBy(
+    ).write.partitionBy(
         "segment", "shard"
     ).mode("overwrite").parquet(os.path.join(out_dir, "doc_text"))
     docs.drop("text", "part").withColumn("segment", F.lit(seg)).write.partitionBy(
