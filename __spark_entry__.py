@@ -486,6 +486,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"
         )
 
+    def q_ann_ivf(spark, sf):
+        emb = _emb_aug(spark, sf)
+        qv = emb.filter(F.col("vec_id") < 5)
+        out = similarity.ann_topk_ivf(emb, qv, k=10)
+        return out.select(
+            "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"
+        )
+
     def q_embedding_neardup(spark, sf):
         out = similarity.embedding_neardup_pairs(_emb_aug(spark, sf), threshold=0.98)
         return out.select("vec_a", "vec_b", F.round("score", 4).alias("score"))
@@ -577,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_cosine_topk": q_cosine_topk,
         "q_ann_lsh": q_ann_lsh,
+        "q_ann_ivf": q_ann_ivf,
         "q_embedding_neardup": q_embedding_neardup,
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
@@ -694,7 +703,14 @@ def _fts_ranked(spark: SparkSession, query: str) -> DataFrame:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdfsearch_spark.pipeline.similarity import DIM, N_PLANES, lsh_planes
+    from pdfsearch_spark.pipeline.similarity import (
+        DIM,
+        N_LIST,
+        N_PLANES,
+        NPROBE,
+        ivf_centroids,
+        lsh_planes,
+    )
 
     planes = lsh_planes()
 
@@ -706,6 +722,20 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN {dot_sql(p)} > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     ) + ")"
+
+    # IVF: same rounded argmin-equivalent distances as
+    # similarity._cell_dist_exprs — round(||c||^2 - 2 v.c, 6) per centroid
+    centroids = ivf_centroids()
+
+    def ivf_dists_sql(vec_col: str) -> str:
+        parts = []
+        for c in centroids:
+            c2 = round(sum(v * v for v in c), 6)
+            arr = "[" + ",".join(str(v) for v in c) + "]::DOUBLE[]"
+            parts.append(
+                f"round({c2}::DOUBLE - 2.0 * list_dot_product({vec_col}, {arr}), 6)"
+            )
+        return "[" + ",".join(parts) + "]::DOUBLE[]"
 
     shingle_cte = f"""
 words AS (
@@ -853,6 +883,43 @@ scored AS (
   SELECT q.query_id, e.vec_id,
          round(list_cosine_similarity(e.embedding, q.q_emb), 6) AS score6
   FROM b e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score6,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(score6, 4) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+""",
+        "q_ann_ivf": f"""
+WITH aug AS ({EMB_AUG_SQL}),
+cells AS (
+  SELECT vec_id, embedding,
+         (list_position({ivf_dists_sql("embedding")},
+                        list_min({ivf_dists_sql("embedding")})) - 1) AS cell
+  FROM aug
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         {ivf_dists_sql("embedding")} AS dl
+  FROM aug WHERE vec_id < 5
+),
+qd AS (
+  SELECT query_id, q_emb, t.i::INT AS cell, dl[t.i + 1] AS d
+  FROM q, range({N_LIST}) t(i)
+),
+probe AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT query_id, q_emb, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cell ASC) AS rn
+    FROM qd
+  ) WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, p.q_emb), 6) AS score6
+  FROM cells e JOIN probe p USING (cell) WHERE e.vec_id <> p.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id, score6,

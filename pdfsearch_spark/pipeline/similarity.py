@@ -10,6 +10,14 @@
   bucket, turning top-k from O(N) into O(N / 2^planes) per probe.
 - embedding_neardup_pairs: near-duplicate detection by cosine >= threshold,
   LSH-bucket-blocked so the self-join never goes all-pairs.
+- ivf_assign / ann_topk_ivf: the second scale path — IVF (inverted-file)
+  partitioning. Every vector is assigned to its nearest centroid's cell by a
+  single codegen argmin expression (no shuffle); a query probes only its
+  nprobe nearest cells, so the scan is O(N * nprobe / nlist) instead of O(N),
+  and recall is tunable via nprobe (nprobe = nlist degrades gracefully to
+  exact brute force). train_centroids_kmeans is the production training path
+  (deterministic Lloyd iterations as DataFrame ops); the seeded centroids
+  keep test/oracle runs engine-reproducible.
 
 Scores are rounded to 6 dp so results are stable across engines' float
 summation orders.
@@ -23,6 +31,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 N_PLANES = 8
 PLANE_SEED = 1234
 DIM = 64
+
+N_LIST = 16
+NPROBE = 4
+CENTROID_SEED = 5678
 
 
 def lsh_planes(dim: int = DIM, n_planes: int = N_PLANES, seed: int = PLANE_SEED) -> list[list[float]]:
@@ -131,6 +143,167 @@ def ann_topk_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_centroids(
+    dim: int = DIM, nlist: int = N_LIST, seed: int = CENTROID_SEED
+) -> list[list[float]]:
+    """Deterministic seeded centroids, rounded to 3 dp so they embed as SQL
+    literals identically in any engine (same trick as lsh_planes). Each is
+    normalized to unit length BEFORE rounding — raw gaussian draws have norm
+    ~sqrt(dim), which would let the ||c||^2 term dominate the argmin and
+    collapse every vector into the smallest-norm centroid's cell. Production
+    builds replace these with train_centroids_kmeans output — the assignment
+    and probe machinery below is identical either way."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 1]))
+    out = []
+    for _ in range(nlist):
+        v = rng.standard_normal(dim)
+        v = v / np.linalg.norm(v)
+        out.append([round(float(x), 3) for x in v])
+    return out
+
+
+def _cell_dist_exprs(vec_col: str, centroids: list[list[float]]) -> list[str]:
+    """Per-centroid argmin-equivalent squared-L2 distance: ||v - c||^2 =
+    ||v||^2 - 2 v.c + ||c||^2, and ||v||^2 is constant across cells for a
+    given row, so (||c||^2 - 2 v.c) ranks cells identically. ||c||^2 folds to
+    a literal. Rounded to 6 dp so the argmin is stable across engines' float
+    summation."""
+    out = []
+    for c in centroids:
+        c2 = round(sum(v * v for v in c), 6)
+        out.append(f"round(cast({c2} as double) - 2D * {_dot_expr(vec_col, c)}, 6)")
+    return out
+
+
+def cell_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """IVF cell id (0-based): index of the nearest centroid; first-min wins on
+    ties in every engine (array_position/list_position return the first
+    match, and the min IS an element so the equality is bit-exact)."""
+    dists = "array(" + ",".join(_cell_dist_exprs(vec_col, centroids)) + ")"
+    return f"(array_position({dists}, array_min({dists})) - 1)"
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]] | None = None
+) -> DataFrame:
+    """Adds `cell` (int): nearest-centroid assignment. One codegen expression
+    per row — no shuffle, no Python; at build time this is the partitioning
+    key the posting-file layout would use (partitionBy("cell"))."""
+    centroids = centroids or ivf_centroids()
+    return emb.withColumn(
+        "cell", F.expr(cell_expr("embedding", centroids)).cast("int")
+    )
+
+
+def probe_cells_expr(
+    vec_col: str, centroids: list[list[float]], nprobe: int
+) -> str:
+    """Array of the nprobe nearest cell ids for a query vector: sort
+    (dist, cell) structs — array_sort on structs orders by field position, so
+    ties break on the smaller cell id — and slice the head."""
+    structs = ",".join(
+        f"named_struct('d', {d}, 'cell', {i})"
+        for i, d in enumerate(_cell_dist_exprs(vec_col, centroids))
+    )
+    return (
+        f"transform(slice(array_sort(array({structs})), 1, {nprobe}), s -> s.cell)"
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame, query_vecs: DataFrame, k: int = 10,
+    nprobe: int = NPROBE,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: each query scans only its nprobe nearest centroid cells.
+
+    Corpus side is a shuffle-free codegen cell assignment (at scale the cells
+    are a partitionBy("cell") parquet layout, so the probe join becomes
+    partition pruning); query side explodes to nprobe rows and broadcasts.
+    Same output shape as cosine_topk / ann_topk_lsh: (query_id, vec_id,
+    score, rank), rank 1..k by (cosine desc, vec_id asc)."""
+    centroids = centroids or ivf_centroids()
+    c_emb = ivf_assign(emb, centroids)
+    q = (
+        query_vecs.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        .withColumn(
+            "cell",
+            F.explode(F.expr(probe_cells_expr("q_emb", centroids, nprobe))),
+        )
+    )
+    joined = c_emb.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(F.expr(_cosine_expr("embedding", "q_emb")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def train_centroids_kmeans(
+    emb: DataFrame, nlist: int = N_LIST, n_iter: int = 5,
+    seed: int = CENTROID_SEED,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding column — the
+    production IVF training path.
+
+    Init picks nlist rows by md5(vec_id) order (data-dependent but partition-
+    count-invariant); each iteration assigns cells with the codegen argmin
+    expression and recomputes means via posexplode + groupBy(cell, pos) —
+    both distributed, with only nlist*dim doubles ever reaching the driver
+    per iteration. Centroids are rounded to 3 dp each iteration so the fitted
+    result is bit-reproducible across cluster layouts. At 10^12 vectors you
+    train on a sampled fraction (emb.sample) — Lloyd needs only a
+    representative sample, not the corpus."""
+    first = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [
+        [round(float(x), 3) for x in r["embedding"]] for r in first
+    ]
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, centroids)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty cells keep their centroid
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            new[cell] = [round(dims[p], 3) for p in range(len(dims))]
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
+
+
+def ivf_inertia(emb: DataFrame, centroids: list[list[float]]) -> float:
+    """Mean argmin-equivalent distance (||c||^2 - 2 v.c) over the corpus —
+    monotone in true k-means inertia for fixed data; used to test that
+    training improves the partition."""
+    dists = "array(" + ",".join(_cell_dist_exprs("embedding", centroids)) + ")"
+    return float(
+        emb.select(F.expr(f"array_min({dists})").alias("d"))
+        .agg(F.avg("d"))
+        .first()[0]
     )
 
 

@@ -78,3 +78,68 @@ def test_histogram_shape_and_mass():
     assert abs(sum(h) - 1.0) < 1e-12
     # byte 0x00-0x0f -> bin 0 etc.
     assert h[0] == 16 * 3 / 768
+
+
+# ---- IVF ANN (Spark; uses the session fixture + sf0.001 embeddings) ----
+
+
+def _emb_df(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> cast(x as double))").alias(
+                "embedding"
+            ),
+        )
+    )
+
+
+def test_ivf_assign_covers_cells(spark):
+    from pdfsearch_spark.pipeline import similarity as sim
+
+    cells = sim.ivf_assign(_emb_df(spark))
+    dist = {r["cell"]: r["n"] for r in cells.groupBy("cell").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert all(0 <= c < sim.N_LIST for c in dist)
+    # seeded gaussian centroids over gaussian-ish embeddings: most cells used
+    assert len(dist) >= sim.N_LIST // 2
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """nprobe=nlist must be EXACT (identical to cosine_topk); default nprobe
+    keeps recall@10 reasonable on the 500-vector fixture."""
+    from pyspark.sql import functions as F
+
+    from pdfsearch_spark.pipeline import similarity as sim
+
+    emb = _emb_df(spark)
+    qv = emb.filter(F.col("vec_id") < 8)
+    exact = sim.cosine_topk(emb, qv, k=10).collect()
+    full = sim.ann_topk_ivf(emb, qv, k=10, nprobe=sim.N_LIST).collect()
+    assert sorted((r["query_id"], r["vec_id"], r["rank"]) for r in full) == sorted(
+        (r["query_id"], r["vec_id"], r["rank"]) for r in exact
+    )
+
+    approx = sim.ann_topk_ivf(emb, qv, k=10).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall
+
+
+def test_kmeans_training_improves_partition(spark):
+    from pdfsearch_spark.pipeline import similarity as sim
+
+    emb = _emb_df(spark)
+    seeded = sim.ivf_centroids()
+    trained = sim.train_centroids_kmeans(emb, n_iter=3)
+    assert len(trained) == sim.N_LIST and len(trained[0]) == sim.DIM
+    # deterministic across invocations (partition-count-invariant init)
+    again = sim.train_centroids_kmeans(emb.repartition(3), n_iter=3)
+    assert trained == again
+    # trained centroids fit the data better than the seeded literals
+    assert sim.ivf_inertia(emb, trained) < sim.ivf_inertia(emb, seeded)
