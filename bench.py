@@ -48,6 +48,7 @@ PIPELINE_QUERIES = [
     "q_ngram_jaccard",
     "q_cosine_topk",
     "q_ann_lsh",
+    "q_ann_ivf",
     "q_lang_id",
     "q_quality",
     "q_token_counts",
@@ -245,6 +246,56 @@ def main():
     )
 
 
+# Files whose content determines the scaling-bench numbers (corpus gen, the
+# build, the query path). pipeline/, streaming/, cli, tests, docs are NOT
+# exercised by --scaling, so commits touching only them leave the
+# fingerprint — and the run-history "current version" grouping — unchanged.
+# bench.py itself participates only through its SCALING_* knobs (extracted
+# per revision below): reporting-only harness edits must not orphan
+# comparable measurement rows.
+BENCH_RELEVANT_PATHS = [
+    "pdfsearch_spark/__init__.py",
+    "pdfsearch_spark/session.py",
+    "pdfsearch_spark/corpus.py",
+    "pdfsearch_spark/extract.py",
+    "pdfsearch_spark/analyzer.py",
+    "pdfsearch_spark/porter.py",
+    "pdfsearch_spark/fnv.py",
+    "pdfsearch_spark/codec.py",
+    "pdfsearch_spark/index_build.py",
+    "pdfsearch_spark/search.py",
+    "pdfsearch_spark/query",
+    "pdfsearch_spark/data",
+]
+
+
+def build_code_fingerprint(rev: str) -> str:
+    """Hash of the bench-relevant blobs at `rev` (retroactively computable
+    for any historical row from its recorded commit)."""
+    import hashlib
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "ls-tree", "-r", rev, "--"] + BENCH_RELEVANT_PATHS,
+            capture_output=True, text=True, cwd=repo,
+        )
+        if out.returncode != 0 or not out.stdout:
+            return ""
+        bench_src = subprocess.run(
+            ["git", "show", f"{rev}:bench.py"],
+            capture_output=True, text=True, cwd=repo,
+        ).stdout
+        knobs = ";".join(
+            sorted(re.findall(r"^SCALING_\w+\s*=\s*[\d_]+", bench_src, re.M))
+        )
+        return hashlib.sha256((out.stdout + "\n" + knobs).encode()).hexdigest()[:12]
+    except OSError:
+        return ""
+
+
 SCALING_DOCS = 500_000  # dilutes fixed per-job driver costs (job scheduling,
 # commits, small stats stages) that are O(1) in corpus size — at web scale
 # they vanish entirely, so the scaling measurement should not be dominated
@@ -415,6 +466,18 @@ def scaling(sf: float, n_docs: int):
     # every run is appended and the report shows the history, not one draw
     with open("BENCH/history.jsonl", "a") as hf:
         hf.write(json.dumps(out) + "\n")
+    write_scaling_report(out)
+
+
+def write_scaling_report(out: dict) -> None:
+    """Regenerate BENCH/BASELINE.md from BENCH/history.jsonl + this run.
+    Separate from the measurement so it can be smoke-tested (and re-run)
+    without a 15-minute scaling pass."""
+    results = {8: out["local8"], 32: out["local32"]}
+    sf, n_docs, git_rev = out["sf"], out["corpus_docs"], out["git"]
+    eff = out["scaling_efficiency"]
+    ceiling = out["numpy_ceiling_efficiency"]
+    rep_ceiling = out["representative_ceiling_efficiency"]
     history = []
     with open("BENCH/history.jsonl") as hf:
         for line in hf:
@@ -422,14 +485,31 @@ def scaling(sf: float, n_docs: int):
                 history.append(json.loads(line))
             except ValueError:
                 pass
+    # "current version" = rows whose BENCH-RELEVANT code matches HEAD's —
+    # commits to unexercised modules (pipeline/, docs, tests) don't orphan
+    # comparable rows. Fingerprints are recomputed from each row's commit.
+    cur_fp = build_code_fingerprint("HEAD")
+    fp_cache: dict = {}
+
+    def _same_code(h) -> bool:
+        rev = h.get("git", "")
+        if not rev:
+            return False
+        if rev == git_rev:
+            return True
+        if rev not in fp_cache:
+            fp_cache[rev] = build_code_fingerprint(rev)
+        return bool(cur_fp) and fp_cache[rev] == cur_fp
+
+    cur = [h for h in history if _same_code(h)] or history
     hist_rows = "\n".join(
-        f"| {h.get('git', 'r1')} | {h['corpus_docs']} | {h['local8']['docs_per_sec']} | "
+        f"| {h.get('git', 'r1')}{' *' if _same_code(h) else ''} | "
+        f"{h['corpus_docs']} | {h['local8']['docs_per_sec']} | "
         f"{h['local32']['docs_per_sec']} | {h['scaling_efficiency']} | "
         f"{h.get('representative_ceiling_efficiency', h.get('hardware_ceiling_efficiency', ''))} | "
         f"{h['ceiling_normalized_efficiency']} |"
         for h in history
     )
-    cur = [h for h in history if h.get("git") == git_rev] or history
     med = sorted(
         h["ceiling_normalized_efficiency"] for h in cur
         if h["ceiling_normalized_efficiency"] is not None
@@ -492,7 +572,9 @@ measured best-of-2, queries best-of-2, baselines best-of-2.
 
 **Median over runs of the CURRENT code version ({git_rev or 'r1'}): raw
 {med_raw}, normalized {med_norm}.** Rows are tagged with the commit that
-produced them — the r2 shuffle-payload packing + zstd writes changed build
+produced them; `*` marks rows whose bench-relevant code (corpus gen, build,
+query path, and the harness's measurement knobs) is identical to HEAD's —
+those are the rows the median is over. The r2 shuffle-payload packing + zstd writes changed build
 throughput ~2x, so earlier rows describe earlier code, not this engine.
 
 | code | docs | 8c docs/s | 32c docs/s | raw eff | repr ceiling | normalized |
