@@ -3,7 +3,8 @@
 Beyond the reference's search capabilities (SURVEY.md §2), these are the
 operations a web-scale training-data pipeline needs: deduplication (exact,
 MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity search
-(brute-force + LSH-bucketed ANN), text analysis (language id, quality
+(brute-force + LSH-bucketed ANN + IVF with k-means training), text analysis
+(language id, quality
 scoring, token counting, fingerprinting), and multimodal column plumbing.
 
 Design rules (100 TB discipline):
