@@ -462,6 +462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_lsh_pairs(spark, sf):
         return dedup.minhash_lsh_pairs(_docs_aug(spark, sf))
 
+    def q_neardup_clusters(spark, sf):
+        return dedup.neardup_clusters(_docs_aug(spark, sf))
+
     def q_simhash(spark, sf):
         return dedup.simhash_signatures(_docs_aug(spark, sf))
 
@@ -581,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_bands": q_minhash_bands,
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "q_neardup_clusters": q_neardup_clusters,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_cosine_topk": q_cosine_topk,
@@ -825,6 +829,35 @@ FROM fp JOIN g USING (fingerprint)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM bands a JOIN bands b USING (band, sig)
 WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+""",
+        # connected components via transitive closure (recursive CTE with
+        # UNION-dedup semantics → guaranteed termination; closure size is
+        # sum of component sizes squared — fine at validation scale, the
+        # Spark side's label propagation is the scale path)
+        "q_neardup_clusters": minhash_cte.replace(
+            "WITH aug", "WITH RECURSIVE aug", 1
+        ) + """
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+nodes AS (SELECT DISTINCT doc_id FROM aug),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.src, e.doc_b FROM reach r JOIN edges e ON r.dst = e.doc_a
+),
+labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       (l.doc_id = l.cluster_id) AS is_canonical
+FROM labels l JOIN sizes s USING (cluster_id)
 """,
         "q_simhash": f"""
 WITH aug AS ({DOCS_AUG_SQL}),

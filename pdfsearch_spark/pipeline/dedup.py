@@ -157,6 +157,93 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_clusters(
+    docs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE,
+    k: int = SHINGLE_K, max_iter: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the LSH candidate
+    pairs, completing the dedup story (pairs → clusters → pick a canonical
+    doc per cluster, drop the rest).
+
+    Returns (doc_id, cluster_id, cluster_size, is_canonical) for EVERY input
+    doc — singletons cluster alone; cluster_id = min doc_id of the component;
+    canonical = the min.
+
+    Spark-first iterative min-label propagation (no GraphFrames dependency):
+    label(x) starts as x; each round, label(x) ← min(label(x), labels of x's
+    neighbors); stop when a round changes nothing. Scale shape:
+
+    - labels live only on edge-TOUCHED docs (at 100 TB the overwhelming
+      majority of docs are in no candidate pair and never enter the loop);
+      singletons are appended at the end with a cheap left-anti join.
+    - each round is ONE shuffle join keyed by doc_id + a map-side-combined
+      min agg — no all-pairs anything, fan-out bounded by degree.
+    - rounds needed = component diameter. LSH near-dup components are
+      near-cliques (duplicate groups share most bands), so 2-3 rounds in
+      practice; for adversarial long chains the O(log n) large-star /
+      small-star variant (Kiveris et al., "Connected Components in
+      MapReduce and Beyond", SoCC'14) is the drop-in upgrade.
+    - localCheckpoint per round truncates the otherwise exponentially
+      growing iterative plan lineage (standard practice for iterative
+      DataFrame algorithms).
+    """
+    pairs = minhash_lsh_pairs(docs, n_hashes, band_size, k).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_cid")
+            .join(labels, "doc_id")
+            .filter(F.col("new_cid") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"neardup_clusters did not converge in {max_iter} rounds")
+    edges.unpersist()
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    clustered = labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    singles = (
+        docs.select("doc_id")
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return clustered.union(singles).withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 SIMHASH_BITS = 32

@@ -143,3 +143,80 @@ def test_kmeans_training_improves_partition(spark):
     assert trained == again
     # trained centroids fit the data better than the seeded literals
     assert sim.ivf_inertia(emb, trained) < sim.ivf_inertia(emb, seeded)
+
+
+# ---- near-dup clustering (connected components over LSH pairs) ----
+
+
+def _docs_neardup(spark):
+    """sf0.001 documents + a near-duplicate of each (last word dropped) —
+    the same augmentation __spark_entry__._docs_aug uses."""
+    from pyspark.sql import functions as F
+
+    from pdfsearch_spark.pipeline.dedup import NORM, WORDS
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    mut = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            f"CASE WHEN size({WORDS}) > 1 THEN "
+            f"array_join(slice({WORDS}, 1, size({WORDS}) - 1), ' ') "
+            f"ELSE {NORM} END"
+        ).alias("text"),
+    )
+    return d.union(mut)
+
+
+def test_neardup_clusters_match_union_find(spark):
+    """Distributed min-label propagation must equal a driver-side union-find
+    over the identical LSH pair set: same cluster_id (= component min),
+    same sizes, same canonical flags, every input doc present exactly once."""
+    from pdfsearch_spark.pipeline import dedup
+
+    # one pair-less doc on top of the augmented corpus so the singleton
+    # (left-anti) assembly path is exercised too
+    lone = spark.createDataFrame(
+        [(999999999, "zqxv kjwp mbfg hrtd nlcy unique singleton sentinel")],
+        "doc_id long, text string",
+    )
+    docs = _docs_neardup(spark).union(lone)
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").distinct().collect()]
+    pairs = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()
+    assert pairs, "augmented corpus must produce candidate pairs"
+
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    comp: dict[int, list[int]] = {}
+    for i in all_ids:
+        comp.setdefault(find(i), []).append(i)
+    expect = {}
+    for members in comp.values():
+        cid = min(members)
+        for m in members:
+            expect[m] = (cid, len(members), m == cid)
+
+    out = dedup.neardup_clusters(docs).collect()
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in out
+    }
+    assert len(out) == len(all_ids)  # exactly once per doc
+    assert got == expect
+    # there must be real multi-doc clusters for this test to mean anything,
+    # and the sentinel must come out a singleton
+    assert any(sz > 1 for _, sz, _ in got.values())
+    assert got[999999999] == (999999999, 1, True)
