@@ -355,7 +355,7 @@ def _fts_prefix_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from pdfsearch_spark.pipeline import dedup, similarity, textstats
+    from pdfsearch_spark.pipeline import curate, dedup, similarity, textstats
 
     # ---- relational skeleton (SURVEY.md §2.1/2.5/2.6) ----
 
@@ -515,6 +515,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_fingerprints(spark, sf):
         return textstats.fingerprints(_docs_par(spark, sf))
 
+    def q_repetition(spark, sf):
+        return textstats.repetition_stats(_docs_par(spark, sf))
+
+    def q_corpus_clean(spark, sf):
+        # composed curation verdict over the augmented corpus (aug gives the
+        # dedup gate real duplicates to catch)
+        return curate.corpus_clean(_docs_aug(spark, sf))
+
     def q_winnow(spark, sf):
         # fingerprint list serialized to a '_'-joined string so every engine
         # (and the driver's canonicalizer) hashes it identically
@@ -595,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_token_counts": q_token_counts,
         "q_fingerprints": q_fingerprints,
+        "q_repetition": q_repetition,
+        "q_corpus_clean": q_corpus_clean,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
         "q_media_features": q_media_features,
@@ -1006,6 +1016,95 @@ FROM documents
 SELECT doc_id, md5({NORM_D}) AS fp_md5,
        cast('0x' || substr(md5({NORM_D}), 1, 8) AS BIGINT) AS fp_prefix32
 FROM documents
+""",
+        # repetition: mode-count via list_filter(x = mode) — the COUNT is
+        # tie-invariant, matching the Spark side's sorted-array max-run fold
+        "q_repetition": f"""
+WITH b AS (
+  SELECT doc_id, {WORDS_D} AS ws,
+         list_transform(range(1, len({WORDS_D})),
+                        i -> {WORDS_D}[i] || ' ' || {WORDS_D}[i+1]) AS bg
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct_words,
+         len(list_filter(ws, x -> x = list_aggregate(ws, 'mode'))) AS top_word_count,
+         CASE WHEN len(bg) > 0
+              THEN len(list_filter(bg, x -> x = list_aggregate(bg, 'mode')))
+              ELSE 0 END AS top_bigram_count,
+         len(bg) AS n_bigrams
+  FROM b
+)
+SELECT doc_id, n_words, n_distinct_words,
+       round(n_distinct_words / n_words::DOUBLE, 6) AS distinct_word_ratio,
+       top_word_count,
+       round(top_word_count / n_words::DOUBLE, 6) AS top_word_frac,
+       top_bigram_count,
+       round(CASE WHEN n_bigrams > 0 THEN top_bigram_count / n_bigrams::DOUBLE
+             ELSE 0 END, 6) AS top_bigram_frac,
+       (round(top_word_count / n_words::DOUBLE, 6) > 0.2
+        OR round(CASE WHEN n_bigrams > 0 THEN top_bigram_count / n_bigrams::DOUBLE
+                 ELSE 0 END, 6) > 0.18
+        OR round(n_distinct_words / n_words::DOUBLE, 6) < 0.5) AS is_repetitive
+FROM m
+""",
+        "q_corpus_clean": f"""
+WITH aug AS ({DOCS_AUG_SQL}),
+fp AS (SELECT doc_id, md5({NORM_D}) AS fingerprint FROM aug),
+g AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY 1),
+dd AS (SELECT fp.doc_id, (fp.doc_id = canonical_id) AS is_canonical
+       FROM fp JOIN g USING (fingerprint)),
+q AS (
+  SELECT doc_id, len({WORDS_D}) AS n_words,
+         round((len({WORDS_D}) >= 10)::INT * 0.4
+             + (round(CASE WHEN len({WORDS_D}) > 0
+                  THEN list_sum(list_transform({WORDS_D}, w -> length(w))) / len({WORDS_D})::DOUBLE
+                  ELSE 0 END, 6) >= 3)::INT * 0.3
+             + (round(CASE WHEN len({WORDS_D}) > 0
+                  THEN len(list_filter({WORDS_D}, w -> w IN ('the','a','of','and','to','in'))) / len({WORDS_D})::DOUBLE
+                  ELSE 0 END, 6) > 0)::INT * 0.2
+             + (round(CASE WHEN length({NORM_D}) > 0
+                  THEN length(regexp_replace({NORM_D}, '[^0-9]', '', 'g')) / length({NORM_D})::DOUBLE
+                  ELSE 0 END, 6) < 0.2)::INT * 0.1, 6) AS quality_score
+  FROM aug
+),
+rb AS (
+  SELECT doc_id, {WORDS_D} AS ws,
+         list_transform(range(1, len({WORDS_D})),
+                        i -> {WORDS_D}[i] || ' ' || {WORDS_D}[i+1]) AS bg
+  FROM aug
+),
+rm AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct_words,
+         len(list_filter(ws, x -> x = list_aggregate(ws, 'mode'))) AS top_word_count,
+         CASE WHEN len(bg) > 0
+              THEN len(list_filter(bg, x -> x = list_aggregate(bg, 'mode')))
+              ELSE 0 END AS top_bigram_count,
+         len(bg) AS n_bigrams
+  FROM rb
+),
+r AS (
+  SELECT doc_id,
+         round(top_word_count / n_words::DOUBLE, 6) AS top_word_frac,
+         round(n_distinct_words / n_words::DOUBLE, 6) AS distinct_word_ratio,
+         (round(top_word_count / n_words::DOUBLE, 6) > 0.2
+          OR round(CASE WHEN n_bigrams > 0 THEN top_bigram_count / n_bigrams::DOUBLE
+                   ELSE 0 END, 6) > 0.18
+          OR round(n_distinct_words / n_words::DOUBLE, 6) < 0.5) AS is_repetitive
+  FROM rm
+)
+SELECT dd.doc_id, dd.is_canonical, q.quality_score, r.top_word_frac,
+       r.distinct_word_ratio,
+       (dd.is_canonical AND NOT (q.quality_score < 0.7 OR q.n_words < 10)
+        AND NOT r.is_repetitive) AS keep,
+       CASE WHEN NOT dd.is_canonical THEN 'duplicate'
+            WHEN q.quality_score < 0.7 OR q.n_words < 10 THEN 'low_quality'
+            WHEN r.is_repetitive THEN 'repetitive' END AS drop_reason
+FROM dd JOIN q USING (doc_id) JOIN r USING (doc_id)
 """,
         "q_winnow": _winnow_sql(),
         "q_media_meta": """

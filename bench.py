@@ -488,8 +488,11 @@ def scaling(sf: float, n_docs: int):
         "scaling_efficiency": round(eff, 3),
         "numpy_ceiling_efficiency": round(ceiling, 3),
         "representative_ceiling_efficiency": round(rep_ceiling, 3),
+        # ceilings are capped at 1.0: a measured kernel ratio above linear is
+        # noise in the small config's kernel draw, and dividing by it would
+        # deflate the normalized metric below the raw one it explains
         "ceiling_normalized_efficiency": (
-            round(eff / rep_ceiling, 3) if rep_ceiling else None
+            round(eff / min(1.0, rep_ceiling), 3) if rep_ceiling else None
         ),
         # the second N→4N pair: both configs inside the host's linear thread
         # region (the 8→32 pair's large config spans the contended half)
@@ -498,7 +501,7 @@ def scaling(sf: float, n_docs: int):
         "scaling_efficiency_4_16": round(eff416, 3),
         "representative_ceiling_efficiency_4_16": round(rep416, 3),
         "ceiling_normalized_efficiency_4_16": (
-            round(eff416 / rep416, 3) if rep416 else None
+            round(eff416 / min(1.0, rep416), 3) if rep416 else None
         ),
     }
     print(json.dumps(out))
@@ -548,14 +551,28 @@ def write_scaling_report(out: dict) -> None:
     def _fmt(v):
         return "" if v is None else v
 
+    def _norm(h, eff_key: str, ceil_key: str):
+        """Row-consistent normalized efficiency: raw / min(1, ceiling) — the
+        1.0 cap applied retroactively so history rows recorded before the cap
+        get the same treatment as new ones (falls back to the stored value
+        when the row predates the ceiling fields)."""
+        e, c = h.get(eff_key), h.get(ceil_key)
+        if e is None or not c:
+            return h.get(
+                "ceiling_normalized_efficiency"
+                if eff_key == "scaling_efficiency"
+                else "ceiling_normalized_efficiency_4_16"
+            )
+        return round(e / min(1.0, c), 3)
+
     hist_rows = "\n".join(
         f"| {h.get('git', 'r1')}{' *' if _same_code(h) else ''} | "
         f"{h['corpus_docs']} | {h['local8']['docs_per_sec']} | "
         f"{h['local32']['docs_per_sec']} | {h['scaling_efficiency']} | "
         f"{h.get('representative_ceiling_efficiency', h.get('hardware_ceiling_efficiency', ''))} | "
-        f"{h['ceiling_normalized_efficiency']} | "
+        f"{_fmt(_norm(h, 'scaling_efficiency', 'representative_ceiling_efficiency'))} | "
         f"{_fmt(h.get('scaling_efficiency_4_16'))} | "
-        f"{_fmt(h.get('ceiling_normalized_efficiency_4_16'))} |"
+        f"{_fmt(_norm(h, 'scaling_efficiency_4_16', 'representative_ceiling_efficiency_4_16'))} |"
         for h in history
     )
 
@@ -568,10 +585,16 @@ def write_scaling_report(out: dict) -> None:
             (vals[mid - 1] + vals[mid]) / 2, 3
         )
 
-    med_norm = _median(h["ceiling_normalized_efficiency"] for h in cur)
+    med_norm = _median(
+        _norm(h, "scaling_efficiency", "representative_ceiling_efficiency")
+        for h in cur
+    )
     med_raw = _median(h["scaling_efficiency"] for h in cur)
     med_raw416 = _median(h.get("scaling_efficiency_4_16") for h in cur)
-    med_norm416 = _median(h.get("ceiling_normalized_efficiency_4_16") for h in cur)
+    med_norm416 = _median(
+        _norm(h, "scaling_efficiency_4_16", "representative_ceiling_efficiency_4_16")
+        for h in cur
+    )
 
     eff416 = out.get("scaling_efficiency_4_16")
     rep416 = out.get("representative_ceiling_efficiency_4_16")
@@ -647,6 +670,11 @@ the curve pair (4, 16) best-of-1 build; kernels best-of-2. Config order is
 drift within a pair.
 
 ## Run history (shared-host variance is large; judge the distribution)
+
+Normalized columns divide raw efficiency by min(1.0, measured string-kernel
+ceiling) — a ceiling above linear is noise in the small config's kernel draw
+and would otherwise deflate the metric; the cap is applied uniformly to all
+rows, current and historical.
 
 **Medians over runs of the CURRENT code version ({git_rev or 'r1'}):
 pair B (8→32) raw {med_raw}, normalized {med_norm}; pair A (4→16) raw

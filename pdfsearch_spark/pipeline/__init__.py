@@ -5,7 +5,9 @@ operations a web-scale training-data pipeline needs: deduplication (exact,
 MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity search
 (brute-force + LSH-bucketed ANN + IVF with k-means training), text analysis
 (language id, quality
-scoring, token counting, fingerprinting), and multimodal column plumbing.
+scoring, repetition/Gopher-style gates, token counting, fingerprinting),
+corpus curation (composed dedup+quality+repetition verdicts), and multimodal
+column plumbing.
 
 Design rules (100 TB discipline):
 - everything stays in whole-stage-codegen Spark SQL expressions (split /
@@ -17,4 +19,4 @@ Design rules (100 TB discipline):
   oracle-checked value-for-value against DuckDB running plain ANSI SQL.
 """
 
-from . import dedup, multimodal, similarity, textstats  # noqa: F401
+from . import curate, dedup, multimodal, similarity, textstats  # noqa: F401

@@ -123,6 +123,81 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------ repetition (Gopher-style)
+
+# word bigrams as a codegen array: pairwise zip of the word array with its
+# own tail; [] when the doc has a single word (slice length 0)
+BIGRAMS = (
+    f"zip_with(slice({WORDS}, 1, size({WORDS}) - 1), "
+    f"slice({WORDS}, 2, size({WORDS}) - 1), (a, b) -> concat(a, ' ', b))"
+)
+
+
+def _max_run_expr(arr: str) -> str:
+    """Occurrence count of the most frequent element of `arr`: max run length
+    over the sorted array, folded in ONE codegen `aggregate` — no explode, no
+    groupBy, no shuffle. The null `prev` sentinel (not '') keeps a literal
+    empty-string element countable."""
+    run = "IF(acc.prev IS NOT NULL AND w = acc.prev, acc.run + 1L, 1L)"
+    return (
+        f"aggregate(array_sort({arr}), "
+        f"named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        f"(acc, w) -> named_struct('prev', w, 'run', {run}, "
+        f"'best', greatest(acc.best, {run})), "
+        f"acc -> acc.best)"
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, n_distinct_words, distinct_word_ratio,
+    top_word_count, top_word_frac, top_bigram_count, top_bigram_frac,
+    is_repetitive) — repetition gates in the Gopher family (Rae et al. 2021,
+    "fraction of characters in most common n-gram" / duplicate-fraction
+    rules), at word granularity because this corpus has no line structure.
+
+    Codegen-only: array_sort + one aggregate fold per n-gram order, all
+    inside whole-stage codegen — shuffle-free, parquet-scan speed at 100 TB.
+
+    is_repetitive thresholds (documented, deliberately simple): most common
+    word > 20% of words, most common bigram > 18% of bigrams, or fewer than
+    50% distinct words.
+    """
+    raw = docs.select(
+        "doc_id",
+        F.expr(f"size({WORDS})").alias("n_words"),
+        F.expr(f"size(array_distinct({WORDS}))").alias("n_distinct_words"),
+        F.expr(_max_run_expr(WORDS)).alias("top_word_count"),
+        F.expr(_max_run_expr(BIGRAMS)).alias("top_bigram_count"),
+        F.expr(f"size({BIGRAMS})").alias("n_bigrams"),
+    )
+    out = raw.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(
+            F.col("n_distinct_words") / F.col("n_words").cast("double"), 6
+        ).alias("distinct_word_ratio"),
+        "top_word_count",
+        F.round(
+            F.col("top_word_count") / F.col("n_words").cast("double"), 6
+        ).alias("top_word_frac"),
+        "top_bigram_count",
+        F.round(
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("top_bigram_count") / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("top_word_frac") > 0.2)
+        | (F.col("top_bigram_frac") > 0.18)
+        | (F.col("distinct_word_ratio") < 0.5),
+    )
+
+
 # ----------------------------------------------------- winnowing (pandas UDF)
 
 _B = 257

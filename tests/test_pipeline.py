@@ -220,3 +220,104 @@ def test_neardup_clusters_match_union_find(spark):
     # and the sentinel must come out a singleton
     assert any(sz > 1 for _, sz, _ in got.values())
     assert got[999999999] == (999999999, 1, True)
+
+
+# ---- repetition stats + corpus_clean composition ----
+
+
+def test_repetition_stats_match_counter(spark):
+    """Codegen max-run-over-sorted-array fold must equal a Python Counter
+    recomputation of top word/bigram counts for every sf0.001 doc."""
+    import collections
+
+    from pdfsearch_spark.pipeline import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    assert len(out) == len(rows)
+    for r in rows:
+        ws = (r["text"] or "").strip().lower().split(" ")
+        bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        got = out[r["doc_id"]]
+        assert got["n_words"] == len(ws)
+        assert got["n_distinct_words"] == len(set(ws))
+        assert got["top_word_count"] == max(collections.Counter(ws).values())
+        assert got["top_bigram_count"] == (
+            max(collections.Counter(bg).values()) if bg else 0
+        )
+        exp_twf = round(got["top_word_count"] / len(ws), 6)
+        assert abs(got["top_word_frac"] - exp_twf) < 1e-9
+        exp_rep = (
+            got["top_word_frac"] > 0.2
+            or got["top_bigram_frac"] > 0.18
+            or got["distinct_word_ratio"] < 0.5
+        )
+        assert got["is_repetitive"] == exp_rep
+
+
+def test_repetition_stats_shuffle_free(spark):
+    """The 100-TB claim: repetition_stats must plan as a pure map — no
+    Exchange anywhere (the codegen aggregate fold replaces explode+groupBy)."""
+    from pdfsearch_spark.pipeline import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = textstats.repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_single_word_and_empty(spark):
+    from pdfsearch_spark.pipeline import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "a a a a b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    # single word: no bigrams, frac 0
+    assert got[1]["n_words"] == 1 and got[1]["top_bigram_count"] == 0
+    assert got[1]["top_bigram_frac"] == 0.0
+    # empty/None normalize to [''] (1 "word"), consistent with token_counts
+    for d in (2, 3):
+        assert got[d]["n_words"] == 1 and got[d]["top_word_count"] == 1
+    # 'a a a a b': top word 4/5, bigram 'a a' 3/4
+    assert got[4]["top_word_count"] == 4 and got[4]["top_bigram_count"] == 3
+    assert got[4]["is_repetitive"]
+
+
+def test_corpus_clean_composition(spark):
+    """corpus_clean must equal the verdict recomputed from its own primitive
+    ops' outputs — one row per doc, gate order duplicate > quality > rep."""
+    from pdfsearch_spark.pipeline import curate, dedup, textstats
+
+    docs = _docs_neardup(spark)
+    n_docs = docs.count()
+    dd = {r["doc_id"]: r["is_canonical"] for r in dedup.exact_dedup(docs).collect()}
+    q = {
+        r["doc_id"]: (r["n_words"], r["quality_score"])
+        for r in textstats.quality_scores(docs).collect()
+    }
+    rep = {
+        r["doc_id"]: r["is_repetitive"]
+        for r in textstats.repetition_stats(docs).collect()
+    }
+    out = curate.corpus_clean(docs).collect()
+    assert len(out) == n_docs
+    kept = 0
+    for r in out:
+        d = r["doc_id"]
+        n_words, score = q[d]
+        low_q = score < 0.7 or n_words < 10
+        exp_keep = dd[d] and not low_q and not rep[d]
+        if not dd[d]:
+            exp_reason = "duplicate"
+        elif low_q:
+            exp_reason = "low_quality"
+        elif rep[d]:
+            exp_reason = "repetitive"
+        else:
+            exp_reason = None
+        assert r["keep"] == exp_keep, (d, r)
+        assert r["drop_reason"] == exp_reason, (d, r)
+        kept += exp_keep
+    assert 0 < kept < n_docs  # both outcomes exercised
