@@ -264,6 +264,50 @@ FROM c
 """
 
 
+def _resize_sql() -> str:
+    """DuckDB recomputation of resize_features: fake-decode 16×16 (pixel =
+    ord of the char at flat index mod len — ASCII corpus, so char == byte),
+    nearest-neighbor 8×8 via the same floor mapping, mean + '_'-joined grid."""
+    from pdfsearch_spark.pipeline.multimodal import IMG_H, IMG_W
+
+    zeros = "_".join(["0"] * 64)
+    flat = f"((((i // 8) * 2) * {IMG_W} + (i % 8) * 2) % length(t))"
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+px AS (
+  SELECT doc_id, t,
+         CASE WHEN length(t) = 0 THEN NULL
+              ELSE list_transform(range(64), i ->
+                     ord(substring(t, {flat} + 1, 1))) END AS pix
+  FROM d
+)
+SELECT doc_id, 8 AS out_h, 8 AS out_w,
+       CASE WHEN pix IS NULL THEN 0.0
+            ELSE round(list_sum(pix) / 64.0, 6) END AS mean_px,
+       CASE WHEN pix IS NULL THEN '{zeros}'
+            ELSE array_to_string(pix, '_') END AS resized_fp
+FROM px
+"""
+
+
+def _frame_sample_sql() -> str:
+    from pdfsearch_spark.pipeline.multimodal import FRAME_BYTES, FRAME_STRIDE
+
+    fb, st = FRAME_BYTES, FRAME_STRIDE
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+fr AS (
+  SELECT doc_id, t,
+         unnest(range(0, greatest((length(t) + {fb - 1}) // {fb}, 1), {st})) AS fi,
+         greatest((length(t) + {fb - 1}) // {fb}, 1)::INT AS n_frames
+  FROM d
+)
+SELECT doc_id, fi::INT AS frame_idx, n_frames,
+       md5(substring(t, fi * {fb} + 1, {fb})) AS frame_md5
+FROM fr
+"""
+
+
 # -------------------------------------------------- FTS oracle SQL
 
 
@@ -563,6 +607,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("features_fp"),
         )
 
+    def q_resize(spark, sf):
+        from pdfsearch_spark.pipeline import multimodal
+
+        m = multimodal.attach_media(_docs_par(spark, sf))
+        return multimodal.resize_features(m)
+
+    def q_frame_sample(spark, sf):
+        from pdfsearch_spark.pipeline import multimodal
+
+        m = multimodal.attach_media(_docs_par(spark, sf))
+        return multimodal.frame_sample(m)
+
     # ---- the real FTS engine (driver-oracled: the entry materializes the
     # Spark-tokenized tokens table to parquet; DuckDB recomputes the full
     # df/tf/dl/idf-clamp BM25 arithmetic from it — same split q_bm25_ws
@@ -608,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
         "q_media_features": q_media_features,
+        "q_resize": q_resize,
+        "q_frame_sample": q_frame_sample,
         "q_fts_bm25": q_fts_bm25,
         "q_fts_phrase": q_fts_phrase,
         "q_fts_prefix": q_fts_prefix,
@@ -1114,6 +1172,8 @@ SELECT doc_id, 'application/octet-stream' AS media_type,
 FROM documents
 """,
         "q_media_features": _media_features_sql(),
+        "q_resize": _resize_sql(),
+        "q_frame_sample": _frame_sample_sql(),
         "q_fts_bm25": _fts_bm25_sql(),
         "q_fts_phrase": _fts_phrase_sql(),
         "q_fts_prefix": _fts_prefix_sql(),

@@ -173,6 +173,7 @@ def bench_once(
     cpus: int | None = None,
     warm_build: bool = False,
     lite: bool = False,
+    index_dir: str = INDEX_DIR,
 ):
     from pdfsearch_spark.session import get_spark
 
@@ -185,10 +186,10 @@ def bench_once(
             # that scales with executors; observed 2.6x warm-up distortion)
             run_build_and_search(
                 spark, 10_000, n_shards=n_shards or 32,
-                index_dir=INDEX_DIR + "_warm", partitions=partitions,
+                index_dir=index_dir + "_warm", partitions=partitions,
                 with_queries=False,
             )
-            shutil.rmtree(INDEX_DIR + "_warm", ignore_errors=True)
+            shutil.rmtree(index_dir + "_warm", ignore_errors=True)
             # best-of-2: the sandbox VM shows +-2x external variance; min is
             # the robust steady-state estimator. lite mode (the curve
             # configs) measures one build, no queries — it exists to place
@@ -196,14 +197,14 @@ def bench_once(
             # primary pair.
             b1, _ = run_build_and_search(
                 spark, n_docs, n_shards=n_shards or max(32, 2 * CPUS),
-                index_dir=INDEX_DIR, partitions=partitions,
+                index_dir=index_dir, partitions=partitions,
                 with_queries=False,
             )
             if lite:
                 return b1, {}
             b2, times = run_build_and_search(
                 spark, n_docs, n_shards=n_shards or max(32, 2 * CPUS),
-                index_dir=INDEX_DIR, partitions=partitions,
+                index_dir=index_dir, partitions=partitions,
             )
             build = b1 if b1["elapsed_sec"] <= b2["elapsed_sec"] else b2
             return build, times
@@ -211,11 +212,11 @@ def bench_once(
             spark,
             n_docs,
             n_shards=n_shards or max(32, 2 * CPUS),
-            index_dir=INDEX_DIR,
+            index_dir=index_dir,
             partitions=partitions,
         )
         if with_pipeline:
-            times.update(run_refresh_bench(spark, n_docs, INDEX_DIR, partitions))
+            times.update(run_refresh_bench(spark, n_docs, index_dir, partitions))
             times.update(run_pipeline(spark, sf_dir))
         return build, times
     finally:
@@ -310,6 +311,15 @@ def build_code_fingerprint(rev: str) -> str:
         return ""
 
 
+SCALING_TMPFS = 1  # scaling configs put scratch (shuffle) + index output on
+# /dev/shm: all four pinned configs otherwise contend for the ONE shared VM
+# disk, so the write/shuffle phase measures that disk's (highly variable)
+# bandwidth instead of N->4N engine behavior. On a real cluster, shuffle and
+# sink bandwidth scale with executor count — each executor brings its own
+# disks / object-store lanes — which is exactly what tmpfs restores here.
+# Knob participates in the bench-code fingerprint: disk-era history rows are
+# not comparable and drop out of the current-version medians.
+
 SCALING_DOCS = 500_000  # dilutes fixed per-job driver costs (job scheduling,
 # commits, small stats stages) that are O(1) in corpus size — at web scale
 # they vanish entirely, so the scaling measurement should not be dominated
@@ -387,19 +397,31 @@ def scaling_worker(cpus: int, lite: bool = False):
     from pdfsearch_spark.session import get_spark
 
     n_docs = max(corpus_size(_sf_of(SF_DIR)), _scaling_docs())
-    build, times = bench_once(
-        f"local[{cpus}]", n_docs, SF_DIR, with_pipeline=False,
-        n_shards=SCALING_SHARDS, partitions=SCALING_PARTS, cpus=cpus,
-        warm_build=True, lite=lite,
-    )
-    spark = get_spark("baseline", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    index_dir = INDEX_DIR
+    if SCALING_TMPFS and os.access("/dev/shm", os.W_OK):
+        scratch = f"/dev/shm/spark_graft_scale_{cpus}"
+        os.makedirs(scratch, exist_ok=True)
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = os.path.join(scratch, "local")
+        index_dir = os.path.join(scratch, "index")
     try:
-        _warm(spark)
-        _parallel_baseline(spark, 32)  # warm numpy path
-        base = min(_parallel_baseline(spark), _parallel_baseline(spark))
-        sbase = _string_baseline(spark)
+        build, times = bench_once(
+            f"local[{cpus}]", n_docs, SF_DIR, with_pipeline=False,
+            n_shards=SCALING_SHARDS, partitions=SCALING_PARTS, cpus=cpus,
+            warm_build=True, lite=lite, index_dir=index_dir,
+        )
+        spark = get_spark(
+            "baseline", master=f"local[{cpus}]", shuffle_partitions=cpus
+        )
+        try:
+            _warm(spark)
+            _parallel_baseline(spark, 32)  # warm numpy path
+            base = min(_parallel_baseline(spark), _parallel_baseline(spark))
+            sbase = _string_baseline(spark)
+        finally:
+            spark.stop()
     finally:
-        spark.stop()
+        if index_dir != INDEX_DIR:
+            shutil.rmtree(os.path.dirname(index_dir), ignore_errors=True)
     print(
         json.dumps(
             {
@@ -661,7 +683,11 @@ we own ({round(max(0.0, (1 - eff / rep_ceiling)) * 100, 1)}% this draw;
 single draws swing with shared-host noise — judge the run history below).
 
 Method: each config runs in its own process pinned with `taskset` (local[8]
-on cores 0-7, etc.) so JVM helper threads cannot borrow idle cores; job
+on cores 0-7, etc.) so JVM helper threads cannot borrow idle cores; shuffle
+scratch and index output live on tmpfs (/dev/shm) because on a real cluster
+shuffle/sink bandwidth scales with executor count (per-executor disks),
+while here all configs would contend for one shared VM disk whose variable
+bandwidth otherwise dominates the write phase; job
 layout ({SCALING_PARTS} gen partitions, {SCALING_SHARDS} shards) is identical
 in every config; each build is preceded by a warm-up build (JIT/codegen);
 the primary pair (8, 32) is measured best-of-2 builds + best-of-2 queries,

@@ -52,6 +52,123 @@ def decode_media(media: bytes, media_type: str):
     )
 
 
+IMG_H = IMG_W = 16  # fake-decode frame geometry (deterministic test shape)
+
+
+def decode_image_fake(media: bytes, h: int = IMG_H, w: int = IMG_W) -> np.ndarray:
+    """Deterministic fake decode: bytes → h×w uint8 grayscale by tiling the
+    payload (pixel[r,c] = media[(r*w+c) mod len]). Stands in for a real
+    image codec (absent in this container — see decode_media); everything
+    downstream of this call (resize math, batch shape, schema) is real."""
+    if not media:
+        return np.zeros((h, w), dtype=np.uint8)
+    buf = np.frombuffer(media, dtype=np.uint8)
+    idx = np.arange(h * w) % len(buf)
+    return buf[idx].reshape(h, w)
+
+
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize (floor mapping src_r = r*H//h) — pure integer
+    indexing, fully vectorized; the deterministic variant used by the
+    cross-engine oracle."""
+    H, W = img.shape
+    return img[(np.arange(h) * H) // h][:, (np.arange(w) * W) // w]
+
+
+def resize_bilinear(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear resize (align-corners=False convention, matching the common
+    image-library default) — vectorized numpy; float64 out. The production
+    resize path; tested against a straightforward per-pixel reference."""
+    H, W = img.shape
+    src = img.astype(np.float64)
+    ys = (np.arange(h) + 0.5) * H / h - 0.5
+    xs = (np.arange(w) + 0.5) * W / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, H - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    top = src[y0][:, x0] * (1 - wx) + src[y0][:, x1] * wx
+    bot = src[y1][:, x0] * (1 - wx) + src[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def resize_features(
+    media_df: DataFrame, out_h: int = 8, out_w: int = 8
+) -> DataFrame:
+    """(doc_id, out_h, out_w, mean_px, resized_fp): fake-decode each media
+    payload to a 16×16 grayscale frame, nearest-neighbor resize to
+    out_h×out_w, emit the resized pixel grid as a '_'-joined fingerprint plus
+    its mean — Arrow-batched mapInPandas, the exact plumbing a real
+    decode+resize featurizer uses (only decode_image_fake would change)."""
+
+    def fn(it):
+        for pdf in it:
+            fps, means = [], []
+            for m in pdf["media"]:
+                img = decode_image_fake(bytes(m) if m is not None else b"")
+                small = resize_nearest(img, out_h, out_w).ravel()
+                fps.append("_".join(str(int(v)) for v in small))
+                means.append(round(float(small.mean()), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_h": np.int32(out_h),
+                    "out_w": np.int32(out_w),
+                    "mean_px": pd.Series(means, dtype="float64"),
+                    "resized_fp": fps,
+                }
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        fn,
+        schema="doc_id long, out_h int, out_w int, mean_px double, resized_fp string",
+    )
+
+
+FRAME_BYTES = 256  # fake "video": fixed-size byte frames
+FRAME_STRIDE = 4   # sample every 4th frame
+
+
+def frame_sample(
+    media_df: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """(doc_id, frame_idx, n_frames, frame_md5): treat each media payload as
+    a video of fixed-size byte frames and sample every ``stride``-th one —
+    entirely JVM-side codegen (sequence + explode + binary substring + md5),
+    no Python in the path. Zero-length payloads yield one empty frame 0, so
+    every doc appears in the output (a frame-sampler that silently drops
+    undecodable docs hides data loss at scale)."""
+    n_frames = F.expr(
+        f"greatest(cast((length(media) + {frame_bytes - 1}) div {frame_bytes} "
+        "as int), 1)"
+    )
+    return (
+        media_df.select("doc_id", "media", n_frames.alias("n_frames"))
+        .select(
+            "doc_id",
+            "media",
+            "n_frames",
+            F.explode(
+                F.expr(f"sequence(0, n_frames - 1, {stride})")
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            "n_frames",
+            F.md5(
+                F.expr(
+                    f"substring(media, frame_idx * {frame_bytes} + 1, {frame_bytes})"
+                )
+            ).alias("frame_md5"),
+        )
+    )
+
+
 def _histogram(buf: bytes, n_bins: int) -> list[float]:
     if not buf:
         return [0.0] * n_bins

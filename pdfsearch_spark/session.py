@@ -60,6 +60,15 @@ def get_spark(
         # this host it is what lets the write phase scale with cores).
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # scratch (shuffle/spill) location override. The scaling bench points
+        # this at tmpfs: on a real cluster shuffle bandwidth scales with
+        # executor count (each brings its own disks), so letting all local
+        # configs contend for ONE shared VM disk would measure that disk,
+        # not the engine's N->4N behavior.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

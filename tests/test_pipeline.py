@@ -321,3 +321,115 @@ def test_corpus_clean_composition(spark):
         assert r["drop_reason"] == exp_reason, (d, r)
         kept += exp_keep
     assert 0 < kept < n_docs  # both outcomes exercised
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_resize_nearest_matches_naive():
+    import numpy as np
+
+    from pdfsearch_spark.pipeline.multimodal import resize_nearest
+
+    rng = np.random.default_rng(3)
+    for H, W, h, w in [(16, 16, 8, 8), (16, 16, 5, 7), (3, 9, 6, 2), (1, 1, 4, 4)]:
+        img = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+        out = resize_nearest(img, h, w)
+        assert out.shape == (h, w)
+        for r in range(h):
+            for c in range(w):
+                assert out[r, c] == img[(r * H) // h, (c * W) // w]
+
+
+def test_resize_bilinear_matches_naive():
+    import numpy as np
+
+    from pdfsearch_spark.pipeline.multimodal import resize_bilinear
+
+    def naive(img, h, w):
+        H, W = img.shape
+        src = img.astype(np.float64)
+        out = np.empty((h, w))
+        for r in range(h):
+            for c in range(w):
+                y = (r + 0.5) * H / h - 0.5
+                x = (c + 0.5) * W / w - 0.5
+                y0 = min(max(int(np.floor(y)), 0), H - 1)
+                x0 = min(max(int(np.floor(x)), 0), W - 1)
+                y1 = min(y0 + 1, H - 1)
+                x1 = min(x0 + 1, W - 1)
+                wy = min(max(y - y0, 0.0), 1.0)
+                wx = min(max(x - x0, 0.0), 1.0)
+                out[r, c] = (
+                    src[y0, x0] * (1 - wy) * (1 - wx)
+                    + src[y0, x1] * (1 - wy) * wx
+                    + src[y1, x0] * wy * (1 - wx)
+                    + src[y1, x1] * wy * wx
+                )
+        return out
+
+    rng = np.random.default_rng(4)
+    for H, W, h, w in [(16, 16, 8, 8), (16, 16, 32, 32), (4, 6, 3, 5)]:
+        img = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+        assert np.allclose(resize_bilinear(img, h, w), naive(img, h, w), atol=1e-9)
+
+
+def test_decode_image_fake_tiles_and_zero_fills():
+    import numpy as np
+
+    from pdfsearch_spark.pipeline.multimodal import decode_image_fake
+
+    img = decode_image_fake(b"abc", 2, 4)
+    assert img.tolist() == [[97, 98, 99, 97], [98, 99, 97, 98]]
+    assert decode_image_fake(b"", 2, 2).tolist() == [[0, 0], [0, 0]]
+    assert img.dtype == np.uint8
+
+
+def test_frame_sample_spark_matches_hashlib(spark):
+    import hashlib
+
+    from pdfsearch_spark.pipeline.multimodal import attach_media, frame_sample
+
+    texts = ["x" * 1000, "y" * 256, "z", "", "w" * 257]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = frame_sample(attach_media(docs), frame_bytes=256, stride=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        b = t.encode()
+        n_frames = max((len(b) + 255) // 256, 1)
+        want_idx = list(range(0, n_frames, 4))
+        got = sorted(by_doc[i], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == want_idx
+        assert all(r["n_frames"] == n_frames for r in got)
+        for r in got:
+            frame = b[r["frame_idx"] * 256 : r["frame_idx"] * 256 + 256]
+            assert r["frame_md5"] == hashlib.md5(frame).hexdigest()
+
+
+def test_resize_features_spark_matches_numpy(spark):
+    import numpy as np
+
+    from pdfsearch_spark.pipeline.multimodal import (
+        attach_media,
+        decode_image_fake,
+        resize_features,
+        resize_nearest,
+    )
+
+    texts = ["hello world", "", "a", "the quick brown fox " * 40]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r for r in resize_features(attach_media(docs)).collect()
+    }
+    for i, t in enumerate(texts):
+        small = resize_nearest(decode_image_fake(t.encode()), 8, 8).ravel()
+        r = rows[i]
+        assert r["resized_fp"] == "_".join(str(int(v)) for v in small)
+        assert abs(r["mean_px"] - round(float(small.mean()), 6)) < 1e-12
+        assert (r["out_h"], r["out_w"]) == (8, 8)
