@@ -53,6 +53,8 @@ PIPELINE_QUERIES = [
     "q_quality",
     "q_token_counts",
     "q_winnow",
+    "q_resize",
+    "q_frame_sample",
 ]
 
 

@@ -91,3 +91,82 @@ def test_stream_restart_is_noop(spark, streamed):
     q.awaitTermination(120)
     after = spark.read.parquet(BASE + "/index/stats").collect()[0]["n_segments"]
     assert after == before
+
+
+# ---------------------------------------------------- stateful dedup stream
+
+DEDUP_BASE = "/tmp/pdfsearch_spark_stream_dedup"
+
+
+def _pages_rows(spec):
+    """spec: list of (url, ts_offset_sec, text)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    return [
+        (url, t0 + dt.timedelta(seconds=off), text.encode(), text, "en")
+        for url, off, text in spec
+    ]
+
+
+def _write_batch(spark, path, spec):
+    spark.createDataFrame(
+        _pages_rows(spec),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _run_dedup_stream(spark):
+    from pdfsearch_spark.streaming import stream_exact_dedup
+
+    q = stream_exact_dedup(
+        spark,
+        DEDUP_BASE + "/incoming/*",
+        DEDUP_BASE + "/out",
+        checkpoint_dir=DEDUP_BASE + "/ckpt",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+
+def test_stream_exact_dedup_within_and_across_batches(spark):
+    """T1 duplicated inside batch 1 (canonical = min url) and again in batch
+    2 (dropped via state); T2/T3 each kept once."""
+    shutil.rmtree(DEDUP_BASE, ignore_errors=True)
+    _write_batch(
+        spark,
+        DEDUP_BASE + "/incoming/f1",
+        [("u/b", 1, "body one"), ("u/a", 2, "body one"), ("u/c", 3, "body two")],
+    )
+    _write_batch(
+        spark,
+        DEDUP_BASE + "/incoming/f2",
+        [("u/d", 4, "body one"), ("u/e", 5, "body three")],
+    )
+    _run_dedup_stream(spark)
+    out = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(DEDUP_BASE + "/out").collect()
+    }
+    assert out == {"u/a": "body one", "u/c": "body two", "u/e": "body three"}
+
+
+def test_stream_exact_dedup_state_survives_restart(spark):
+    """A later run over the same checkpoint still drops bodies emitted by the
+    earlier run (state store persistence), keeps genuinely new ones."""
+    _write_batch(
+        spark,
+        DEDUP_BASE + "/incoming/f3",
+        [("u/f", 6, "body two"), ("u/g", 7, "body four")],
+    )
+    _run_dedup_stream(spark)
+    out = sorted(
+        (r["url"], r["text"])
+        for r in spark.read.parquet(DEDUP_BASE + "/out").collect()
+    )
+    assert out == [
+        ("u/a", "body one"),
+        ("u/c", "body two"),
+        ("u/e", "body three"),
+        ("u/g", "body four"),
+    ]
