@@ -515,6 +515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf):
         return dedup.ngram_jaccard_pairs(_docs_aug(spark, sf), threshold=0.5)
 
+    def q_ngram_jaccard_verify(spark, sf):
+        # the corpus-scale composition: LSH candidates -> exact verify
+        return dedup.ngram_jaccard_verify(_docs_aug(spark, sf), threshold=0.5)
+
     # ---- similarity (pipeline.similarity) ----
 
     def q_cosine_topk(spark, sf):
@@ -651,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_clusters": q_neardup_clusters,
         "q_simhash": q_simhash,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_ngram_jaccard_verify": q_ngram_jaccard_verify,
         "q_cosine_topk": q_cosine_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
@@ -952,6 +957,28 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM shd a JOIN shd b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.5
+""",
+        "q_ngram_jaccard_verify": minhash_cte + """
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, sig)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN shd a ON a.doc_id = p.doc_a
+  JOIN shd b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
        round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard

@@ -353,3 +353,44 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    k: int = SHINGLE_K,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard restricted to candidate pairs — the corpus-scale
+    composition that replaces ngram_jaccard_pairs' quadratic self-join:
+    candidates come from the banded LSH bucket join (never all-pairs, default
+    ``minhash_lsh_pairs``), exact verification then costs one per-doc shingle
+    array (codegen, no shuffle), two doc_id-keyed joins to attach the arrays
+    to each pair, and a whole-stage-codegen ``array_intersect`` per pair —
+    linear in candidate count, with per-row cost bounded by document length.
+
+    Returns (doc_a, doc_b, jaccard >= threshold), identical values to
+    ngram_jaccard_pairs on the pairs both produce (tested)."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, k=k)
+    pairs = pairs.select("doc_a", "doc_b")
+    sets = docs.select(
+        "doc_id", F.expr(f"array_distinct({_shingle_expr(k)})").alias("sh")
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.expr("size(sh_a)") + F.expr("size(sh_b)") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -433,3 +433,36 @@ def test_resize_features_spark_matches_numpy(spark):
         assert r["resized_fp"] == "_".join(str(int(v)) for v in small)
         assert abs(r["mean_px"] - round(float(small.mean()), 6)) < 1e-12
         assert (r["out_h"], r["out_w"]) == (8, 8)
+
+
+def test_ngram_jaccard_verify_matches_exact_on_candidates(spark):
+    """The scale composition (LSH candidates -> exact verify) returns exactly
+    the exhaustive op's values restricted to the candidate pairs."""
+    from pdfsearch_spark.pipeline import dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight again",
+        "the quick brown fox jumps over the lazy cat tonight again",
+        "completely different text about spark engines and postings",
+        "the quick brown fox jumps over the lazy dog tonight again",
+        "one two",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert cand, "fixture must produce LSH candidates"
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    verify = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_verify(docs, threshold=0.3).collect()
+    }
+    assert verify == {k: v for k, v in exact.items() if k in cand}
+    assert (0, 3) in verify and verify[(0, 3)] == 1.0
