@@ -203,6 +203,17 @@ def bench_once(
                 with_queries=False,
             )
             if lite:
+                # best-of-N for the curve configs too: a single draw per
+                # config made pair A the noisiest link in the efficiency
+                # ratio on this shared host (min is the robust estimator)
+                for _ in range(SCALING_LITE_BUILDS - 1):
+                    b2, _ = run_build_and_search(
+                        spark, n_docs, n_shards=n_shards or max(32, 2 * CPUS),
+                        index_dir=index_dir, partitions=partitions,
+                        with_queries=False,
+                    )
+                    if b2["elapsed_sec"] < b1["elapsed_sec"]:
+                        b1 = b2
                 return b1, {}
             b2, times = run_build_and_search(
                 spark, n_docs, n_shards=n_shards or max(32, 2 * CPUS),
@@ -321,6 +332,8 @@ SCALING_TMPFS = 1  # scaling configs put scratch (shuffle) + index output on
 # disks / object-store lanes — which is exactly what tmpfs restores here.
 # Knob participates in the bench-code fingerprint: disk-era history rows are
 # not comparable and drop out of the current-version medians.
+
+SCALING_LITE_BUILDS = 2  # measured builds per curve (lite) config; min wins
 
 SCALING_DOCS = 500_000  # dilutes fixed per-job driver costs (job scheduling,
 # commits, small stats stages) that are O(1) in corpus size — at web scale
@@ -693,7 +706,7 @@ bandwidth otherwise dominates the write phase; job
 layout ({SCALING_PARTS} gen partitions, {SCALING_SHARDS} shards) is identical
 in every config; each build is preceded by a warm-up build (JIT/codegen);
 the primary pair (8, 32) is measured best-of-2 builds + best-of-2 queries,
-the curve pair (4, 16) best-of-1 build; kernels best-of-2. Config order is
+the curve pair (4, 16) best-of-{SCALING_LITE_BUILDS} builds; kernels best-of-2. Config order is
 8, 32, 4, 16 so each pair's two builds run back-to-back, minimizing host
 drift within a pair.
 
