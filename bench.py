@@ -46,6 +46,7 @@ PIPELINE_QUERIES = [
     "q_minhash_lsh_pairs",
     "q_simhash",
     "q_ngram_jaccard",
+    "q_ngram_jaccard_verify",
     "q_cosine_topk",
     "q_ann_lsh",
     "q_ann_ivf",
