@@ -466,3 +466,28 @@ def test_ngram_jaccard_verify_matches_exact_on_candidates(spark):
     }
     assert verify == {k: v for k, v in exact.items() if k in cand}
     assert (0, 3) in verify and verify[(0, 3)] == 1.0
+
+
+def test_simhash_neardup_banding_lossless(spark):
+    """The 4-chunk band-rotation blocking must recover EXACTLY the pairs a
+    brute-force all-pairs hamming<=3 scan finds (pigeonhole: 3 flipped bits
+    can dirty at most 3 of the 4 bytes), with correct hamming distances."""
+    from pdfsearch_spark.pipeline import dedup
+
+    docs = _docs_neardup(spark).filter("doc_id % 5 = 0")
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs).collect()
+    }
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert brute, "fixture must contain hamming<=3 signature pairs"
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_neardup_pairs(docs).collect()
+    }
+    assert banded == brute
