@@ -83,6 +83,24 @@ FROM documents
 """
 
 
+# tf-weighted sign-sum SimHash, matching dedup.simhash_signatures bit-for-bit
+SIMHASH_CTE = f"""tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM (SELECT doc_id, unnest({WORDS_D}) AS w FROM aug) t GROUP BY 1, 2
+),
+bits AS (
+  SELECT doc_id, j.i AS j,
+         sum(CASE WHEN ((cast('0x' || substr(md5(w), 1, 8) AS BIGINT) >> j.i) & 1) = 1
+                  THEN tf ELSE -tf END) AS s
+  FROM tf, range(32) j(i) GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+
 def _emb_aug(spark, sf_dir):
     """embeddings + an exact-direction duplicate (scaled 1.1x, vec_id +
     1000000) — gives cosine near-dup real pairs (cosine == 1)."""
@@ -512,6 +530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return dedup.simhash_signatures(_docs_aug(spark, sf))
 
+    def q_simhash_neardup(spark, sf):
+        out = dedup.simhash_neardup_pairs(_docs_aug(spark, sf))
+        return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
     def q_ngram_jaccard(spark, sf):
         return dedup.ngram_jaccard_pairs(_docs_aug(spark, sf), threshold=0.5)
 
@@ -654,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "q_neardup_clusters": q_neardup_clusters,
         "q_simhash": q_simhash,
+        "q_simhash_neardup": q_simhash_neardup,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_ngram_jaccard_verify": q_ngram_jaccard_verify,
         "q_cosine_topk": q_cosine_topk,
@@ -934,19 +957,25 @@ FROM labels l JOIN sizes s USING (cluster_id)
 """,
         "q_simhash": f"""
 WITH aug AS ({DOCS_AUG_SQL}),
-tf AS (
-  SELECT doc_id, w, count(*) AS tf
-  FROM (SELECT doc_id, unnest({WORDS_D}) AS w FROM aug) t GROUP BY 1, 2
+{SIMHASH_CTE}
+SELECT doc_id, simhash FROM sig
+""",
+        # band-rotation blocking identical to dedup.simhash_neardup_pairs:
+        # 4 byte-chunks, bucket self-join, hamming via bit_count(xor)
+        "q_simhash_neardup": f"""
+WITH aug AS ({DOCS_AUG_SQL}),
+{SIMHASH_CTE},
+banded AS (
+  SELECT doc_id, simhash, t.i AS band, (simhash >> (t.i * 8)) & 255 AS chunk
+  FROM sig, range(4) t(i)
 ),
-bits AS (
-  SELECT doc_id, j.i AS j,
-         sum(CASE WHEN ((cast('0x' || substr(md5(w), 1, 8) AS BIGINT) >> j.i) & 1) = 1
-                  THEN tf ELSE -tf END) AS s
-  FROM tf, range(32) j(i) GROUP BY 1, 2
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+  FROM banded a JOIN banded b USING (band, chunk)
+  WHERE a.doc_id < b.doc_id
 )
-SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
-FROM bits GROUP BY doc_id
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
 """,
         "q_ngram_jaccard": f"""
 WITH aug AS ({DOCS_AUG_SQL}),
