@@ -45,6 +45,7 @@ PIPELINE_QUERIES = [
     "q_exact_dedup",
     "q_minhash_lsh_pairs",
     "q_simhash",
+    "q_simhash_neardup",
     "q_ngram_jaccard",
     "q_ngram_jaccard_verify",
     "q_cosine_topk",
@@ -155,6 +156,11 @@ def run_refresh_bench(
 def run_pipeline(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # drop the index/refresh phases' cached relations + broadcasts before
+    # timing the pipeline ops: in local mode they all share one 8 GB heap,
+    # and leftover cache pressure makes the join-heavy ops (exact Jaccard)
+    # spill — 3-8x slower than the same query in a clean session
+    spark.catalog.clearCache()
     qs = entrymod.queries()
     times: dict[str, float] = {}
     for name in PIPELINE_QUERIES:
