@@ -1,4 +1,11 @@
 from .dedup import stream_exact_dedup
 from .ingest import PAGES_SCHEMA, stream_refresh
+from .stats import stream_ingest_stats, windowed_ingest_stats
 
-__all__ = ["PAGES_SCHEMA", "stream_exact_dedup", "stream_refresh"]
+__all__ = [
+    "PAGES_SCHEMA",
+    "stream_exact_dedup",
+    "stream_ingest_stats",
+    "stream_refresh",
+    "windowed_ingest_stats",
+]

@@ -1,0 +1,108 @@
+"""Event-time windowed ingest statistics over a page stream.
+
+The reference indexes a static directory; a web-scale crawl is a stream of
+pages whose event time (``warc_ts``, the crawl timestamp) lags and reorders
+against arrival. This operator is the Structured-Streaming-native monitor
+for that ingest: tumbling event-time windows per language, finalized by a
+watermark so state is bounded and late arrivals past the lateness budget
+are dropped rather than reopening closed windows.
+
+Scale shape: the aggregation is a streaming hash agg keyed by
+(window, lang) — partial aggregation happens map-side per micro-batch, the
+state store holds only open windows × langs (bounded by the watermark), and
+``approx_count_distinct`` keeps the per-key state O(1). Nothing here is
+per-row Python; the whole plan is codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["windowed_ingest_stats", "stream_ingest_stats"]
+
+
+def windowed_ingest_stats(
+    pages: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-lang ingest stats with a late-data watermark.
+
+    Works on a streaming OR batch ``pages`` DataFrame with the corpus schema
+    (url, warc_ts timestamp, html binary, text string, lang string); on a
+    batch frame the watermark is a no-op and every window is emitted, which
+    is exactly the replay/backfill semantics you want from the same code.
+
+    Returns (window_start, window_end, lang, n_docs, n_bytes, approx_urls):
+    document count, total raw html bytes, and an approximate distinct-url
+    count (HLL sketch — mergeable, O(1) state per open window).
+    """
+    return (
+        pages.withWatermark("warc_ts", watermark_delay)
+        .groupBy(
+            F.window("warc_ts", window_duration).alias("w"),
+            "lang",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("html")).alias("n_bytes"),
+            F.approx_count_distinct("url").alias("approx_urls"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_docs",
+            "n_bytes",
+            "approx_urls",
+        )
+    )
+
+
+def stream_ingest_stats(
+    spark: SparkSession,
+    source_glob: str,
+    result_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    schema=None,
+):
+    """readStream(parquet) → windowed_ingest_stats → append-mode parquet sink.
+
+    Append mode + watermark is the late-data contract from the task brief,
+    with the semantics Spark actually executes (verified empirically on
+    4.1.2, tests/test_streaming.py):
+
+    - a (window, lang) row is written EXACTLY ONCE, at the micro-batch whose
+      watermark (event-time max minus ``watermark_delay``, advancing one
+      batch behind the data) passes the window end and evicts its state;
+    - rows arriving late but BEFORE their window's eviction still merge into
+      it — lateness within the watermark lag loses nothing;
+    - rows arriving AFTER their window was evicted are dropped (visible as
+      numRowsDroppedByWatermark in query progress), never emitted as
+      duplicate/correction rows — so downstream consumers can treat
+      ``result_dir`` as an append-only fact table keyed by (window, lang).
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    if schema is None:
+        # parquet readStream needs an explicit schema; lift it from the files
+        # already present (driver-side footer read, no data scan)
+        schema = spark.read.parquet(source_glob).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(source_glob)
+    stats = windowed_ingest_stats(pages, window_duration, watermark_delay)
+    writer = (
+        stats.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", result_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -170,3 +170,108 @@ def test_stream_exact_dedup_state_survives_restart(spark):
         ("u/e", "body three"),
         ("u/g", "body four"),
     ]
+
+
+# ---- event-time windowed stats: watermark + late-data drop ----
+
+STATS_BASE = "/tmp/pdfsearch_spark_stream_stats"
+
+
+@pytest.fixture(scope="module")
+def stats_result(spark):
+    """Four micro-batches probing the watermark contract end-to-end:
+    f1 = on-time hours [0,2); f2 = jump to hours [4,7) (event-time max ->
+    6.96h, so the NEXT batch runs with watermark 5.96h and evicts hours
+    0,1,4); f3 = on-time tail hours [7,7.6) (its batch performs that
+    eviction); f4 = hours [2,4) arriving LAST — later than the watermark,
+    after any chance of eviction-merge, so every row must be dropped.
+    1h tumbling windows, 1h delay. warc_ts = epoch + 137 s * i
+    (corpus.gen_row), so doc i sits in hour i*137/3600."""
+    from pdfsearch_spark.streaming import stream_ingest_stats
+
+    shutil.rmtree(STATS_BASE, ignore_errors=True)
+    pages = corpus.web_pages_df(spark, 200, partitions=4)
+    secs = "unix_timestamp(warc_ts) - unix_timestamp(timestamp'2024-01-01 00:00:00')"
+    f1 = pages.filter(F.expr(f"{secs} < {2 * 3600}"))
+    f2 = pages.filter(F.expr(f"{secs} >= {4 * 3600} AND {secs} < {7 * 3600}"))
+    f3 = pages.filter(F.expr(f"{secs} >= {7 * 3600}"))
+    f4 = pages.filter(F.expr(f"{secs} >= {2 * 3600} AND {secs} < {4 * 3600}"))
+    # the late filter runs AFTER map-side partial aggregation, so the dropped
+    # metric counts (window, lang) partial rows, not raw input rows
+    n_late_groups = (
+        f4.select(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .distinct()
+        .count()
+    )
+    for name, part in [("f1", f1), ("f2", f2), ("f3", f3), ("f4", f4)]:
+        part.coalesce(1).write.mode("overwrite").parquet(
+            f"{STATS_BASE}/incoming/{name}"
+        )
+    q = stream_ingest_stats(
+        spark,
+        STATS_BASE + "/incoming/*",
+        STATS_BASE + "/result",
+        STATS_BASE + "/ckpt",
+        window_duration="1 hour",
+        watermark_delay="1 hour",
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    out = spark.read.parquet(STATS_BASE + "/result")
+    return {
+        "ontime": f1.union(f2).union(f3),
+        "out": out,
+        "dropped": dropped,
+        "n_late_groups": n_late_groups,
+    }
+
+
+def _hour_of(ts) -> int:
+    return (int(ts.timestamp()) - 1704067200) // 3600
+
+
+def test_windowed_stats_emits_only_finalized_windows(spark, stats_result):
+    hours = sorted(
+        _hour_of(r["window_start"])
+        for r in stats_result["out"].select("window_start").distinct().collect()
+    )
+    # 0,1 from f1 and 4 (evicted at watermark 5.96h during f3's batch) plus
+    # 5 (evicted at 6.57h during f4's batch); 2,3 NEVER appear (their only
+    # rows arrived after the watermark passed: dropped, not merged, not
+    # emitted as late corrections); 6,7 not finalized when the drain ended
+    assert hours == [0, 1, 4, 5]
+
+
+def test_windowed_stats_drops_every_late_row(spark, stats_result):
+    assert stats_result["n_late_groups"] > 0
+    assert stats_result["dropped"] == stats_result["n_late_groups"]
+
+
+def test_windowed_stats_counts_match_batch_recompute(spark, stats_result):
+    """Each finalized (window, lang) row must equal a batch-mode recompute
+    over the ON-TIME files only — exactly once, late rows contributing
+    nothing. Batch mode reuses the same operator (watermark is a no-op on a
+    batch frame), which is the backfill/replay use of the identical code."""
+    from pdfsearch_spark.streaming import windowed_ingest_stats
+
+    expected = {
+        (r["window_start"], r["lang"]): (r["n_docs"], r["n_bytes"])
+        for r in windowed_ingest_stats(
+            stats_result["ontime"], "1 hour", "1 hour"
+        ).collect()
+        if _hour_of(r["window_start"]) in (0, 1, 4, 5)
+    }
+    got = {
+        (r["window_start"], r["lang"]): (r["n_docs"], r["n_bytes"])
+        for r in stats_result["out"].collect()
+    }
+    assert got == expected
+    # urls are unique per row, so the HLL estimate tracks n_docs closely
+    for r in stats_result["out"].collect():
+        assert abs(r["approx_urls"] - r["n_docs"]) <= max(2, 0.1 * r["n_docs"])
