@@ -605,6 +605,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("winnow_fp"),
         )
 
+    def q_windowed_agg(spark, sf):
+        # the streaming windowed-stats operator run in batch/replay mode
+        # (watermark is a no-op on a batch frame): 1-day tumbling event-time
+        # windows per event_type over the events table. Window bounds are
+        # serialized with date_format so both engines hash identical strings.
+        from pdfsearch_spark.streaming import windowed_ingest_stats
+
+        ev = _t(spark, sf, "events").select(
+            F.col("event_id").cast("string").alias("url"),
+            F.col("ts").alias("warc_ts"),
+            F.expr("cast(props as binary)").alias("html"),
+            F.col("event_type").alias("lang"),
+        )
+        out = windowed_ingest_stats(ev, "1 day", "1 day")
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col("lang").alias("event_type"),
+            F.col("n_docs").alias("n_events"),
+            "n_bytes",
+        )
+
     # ---- multimodal plumbing (binary columns; metadata/features oracled) ----
 
     def q_media_meta(spark, sf):
@@ -689,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprints": q_fingerprints,
         "q_repetition": q_repetition,
         "q_corpus_clean": q_corpus_clean,
+        "q_windowed_agg": q_windowed_agg,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
         "q_media_features": q_media_features,
@@ -1219,6 +1241,13 @@ SELECT dd.doc_id, dd.is_canonical, q.quality_score, r.top_word_frac,
             WHEN q.quality_score < 0.7 OR q.n_words < 10 THEN 'low_quality'
             WHEN r.is_repetitive THEN 'repetitive' END AS drop_reason
 FROM dd JOIN q USING (doc_id) JOIN r USING (doc_id)
+""",
+        "q_windowed_agg": """
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 * 1000000 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       sum(octet_length(encode(props)))::BIGINT AS n_bytes
+FROM events GROUP BY 1, 2
 """,
         "q_winnow": _winnow_sql(),
         "q_media_meta": """

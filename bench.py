@@ -51,6 +51,7 @@ PIPELINE_QUERIES = [
     "q_cosine_topk",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_windowed_agg",
     "q_lang_id",
     "q_quality",
     "q_token_counts",
