@@ -16,7 +16,10 @@ scripts/dev_fuzz_queries.py and scripts/dev_fuzz_queries_batch.py):
            OR group under AND with OR/NOT ancestor + a nomatch-capable
            sibling; engine keeps the specification-consistent sum, FTS5
            drops a contribution; match SETS always agree)
-  total: 5200 queries, 0 engine bugs found after round 1's precedence fix.
+  total: 7200 queries (2,000 added in round 2 at seed 20260818 via the batch
+  path), 0 engine bugs; 4 score-only diffs in the round-2 sweep all verified
+  per-doc as the documented FTS5 OR-branch-drop artifact (oracle credits LESS
+  contribution, match sets identical - tests/test_anchor_artifact.py).
 """
 
 from __future__ import annotations
