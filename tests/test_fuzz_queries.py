@@ -10,16 +10,18 @@ tie-sort) against the reference engine reconstruction.
 Cumulative differential tally across rounds (this file + the dev sweeps
 scripts/dev_fuzz_queries.py and scripts/dev_fuzz_queries_batch.py):
   round 1: 1200 queries, 1199 rank-identical, 1 documented FTS5 artifact
-  round 2: 4000 queries (seeds 777/888, batch path), 0 hard failures,
-           9 score-multiset diffs — all matching the documented FTS5
-           iterator-state artifact family (tests/test_anchor_artifact.py:
-           OR group under AND with OR/NOT ancestor + a nomatch-capable
-           sibling; engine keeps the specification-consistent sum, FTS5
-           drops a contribution; match SETS always agree)
-  total: 7200 queries (2,000 added in round 2 at seed 20260818 via the batch
-  path), 0 engine bugs; 4 score-only diffs in the round-2 sweep all verified
-  per-doc as the documented FTS5 OR-branch-drop artifact (oracle credits LESS
-  contribution, match sets identical - tests/test_anchor_artifact.py).
+  round 2: 8000 queries (seeds 777/888/20260818/20260819, batch path),
+           0 hard failures, 12 score-multiset diffs — all matching the
+           documented FTS5 iterator-state artifact family
+           (tests/test_anchor_artifact.py: OR group under AND with OR/NOT
+           ancestor + a nomatch-capable sibling; engine keeps the
+           specification-consistent sum, FTS5 drops a contribution; match
+           SETS always agree)
+  total: 9200 queries, 0 engine bugs; the 7 score-only diffs in the two
+  final round-2 sweeps (seeds 20260818/20260819) were each verified
+  per-doc: match sets identical and FTS5 credits LESS contribution in
+  every differing doc — the documented OR-branch-drop direction
+  (tests/test_anchor_artifact.py).
 """
 
 from __future__ import annotations
