@@ -593,6 +593,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup gate real duplicates to catch)
         return curate.corpus_clean(_docs_aug(spark, sf))
 
+    def q_source_cap(spark, sf):
+        # per-source (domain) cap: keep the 10 best docs per source,
+        # two-phase salted top-N so head domains never hit one reducer
+        # (cap=10 binds at sf0.01's 25 docs/source, so the driver checks
+        # real boundary behavior, not an all-pass filter)
+        return curate.source_cap(_t(spark, sf, "documents"), cap=10)
+
     def q_winnow(spark, sf):
         # fingerprint list serialized to a '_'-joined string so every engine
         # (and the driver's canonicalizer) hashes it identically
@@ -710,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprints": q_fingerprints,
         "q_repetition": q_repetition,
         "q_corpus_clean": q_corpus_clean,
+        "q_source_cap": q_source_cap,
         "q_windowed_agg": q_windowed_agg,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
@@ -1186,6 +1194,14 @@ SELECT doc_id, n_words, n_distinct_words,
         OR round(n_distinct_words / n_words::DOUBLE, 6) < 0.5) AS is_repetitive
 FROM m
 """,
+        "q_source_cap": """
+SELECT doc_id, source, n_chars, source_rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         )::INT AS source_rank
+  FROM documents
+) WHERE source_rank <= 10""",
         "q_corpus_clean": f"""
 WITH aug AS ({DOCS_AUG_SQL}),
 fp AS (SELECT doc_id, md5({NORM_D}) AS fingerprint FROM aug),

@@ -52,6 +52,7 @@ PIPELINE_QUERIES = [
     "q_ann_lsh",
     "q_ann_ivf",
     "q_windowed_agg",
+    "q_source_cap",
     "q_lang_id",
     "q_quality",
     "q_token_counts",

@@ -67,3 +67,60 @@ def corpus_clean(
         keep.alias("keep"),
         reason.alias("drop_reason"),
     )
+
+
+DEFAULT_SOURCE_CAP = 100
+SOURCE_CAP_SALTS = 64
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int = DEFAULT_SOURCE_CAP,
+    n_salts: int = SOURCE_CAP_SALTS,
+) -> DataFrame:
+    """Per-source document cap: keep the `cap` best docs per source and
+    drop the rest — the domain-cap step every webtext curation pipeline
+    runs so one prolific domain cannot dominate the training mix
+    (cf. RefinedWeb / CCNet per-domain limits).
+
+    "Best" is (n_chars DESC, doc_id ASC) — an exact integer ordering, so
+    the result is deterministic and oracle-checkable (no float-ulp rank
+    flips at the cap boundary).
+
+    Returns (doc_id, source, n_chars, source_rank) for kept docs only,
+    source_rank in 1..cap.
+
+    Scale shape — two-phase salted top-N, because a naive
+    Window.partitionBy(source) sends EVERY row of a head domain to one
+    reducer (at 100 TB a big crawl domain is billions of rows):
+
+    - phase 1 ranks within (source, salt(doc_id) % n_salts) and keeps at
+      most `cap` rows per salt — each reducer sees ~1/n_salts of even the
+      largest domain, and emits <= cap rows;
+    - phase 2 ranks the surviving <= cap * n_salts rows per source — a
+      bounded input per key regardless of domain size.
+
+    The global top-`cap` of a source is contained in the union of its
+    per-salt top-`cap`s, so the two phases are exact, not approximate.
+    Both phases are one shuffle each; phase 2's input is tiny.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    salted = docs.select("doc_id", "source", "n_chars").withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn(
+            "source_rank", F.row_number().over(w2).cast("int")
+        )
+        .filter(F.col("source_rank") <= cap)
+        .select("doc_id", "source", "n_chars", "source_rank")
+    )

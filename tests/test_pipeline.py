@@ -491,3 +491,34 @@ def test_simhash_neardup_banding_lossless(spark):
         for r in dedup.simhash_neardup_pairs(docs).collect()
     }
     assert banded == brute
+
+
+def test_source_cap_matches_bruteforce_skewed(spark):
+    """source_cap's two-phase salted top-N must equal the naive global
+    top-cap per source, on a skewed frame (one head source with 10x the
+    docs of the others, sources under the cap, and n_chars ties resolved
+    by doc_id)."""
+    from pdfsearch_spark.pipeline.curate import source_cap
+
+    rows = []
+    did = 0
+    for src, n in (("head", 200), ("mid", 40), ("tiny", 3)):
+        for i in range(n):
+            rows.append((did, src, (i * 37) % 50))  # many n_chars ties
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    cap, n_salts = 25, 8  # head source spans many salts and exceeds cap
+    got = {
+        (r["doc_id"], r["source"], r["n_chars"], r["source_rank"])
+        for r in source_cap(docs, cap=cap, n_salts=n_salts).collect()
+    }
+    exp = set()
+    for src in ("head", "mid", "tiny"):
+        grp = sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (-r[2], r[0])
+        )
+        for rank, r in enumerate(grp[:cap], start=1):
+            exp.add((r[0], src, r[2], rank))
+    assert got == exp
+    assert len([t for t in got if t[1] == "head"]) == cap
+    assert len([t for t in got if t[1] == "tiny"]) == 3
