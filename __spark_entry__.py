@@ -176,6 +176,47 @@ def _bm25_ws(spark, sf_dir):
     return scored
 
 
+# Deterministic pseudo-PII suffix per doc (the testdata text is pure words,
+# so every match the scrub finds comes from this controlled augmentation).
+# Plain SQL valid in BOTH Spark and DuckDB — the two engines must see the
+# same input bytes.
+PII_AUG_TEXT = (
+    "concat(coalesce(text, ''), CASE"
+    " WHEN doc_id % 4 = 0 THEN concat(' reach user', doc_id, '@example.com now')"
+    " WHEN doc_id % 4 = 1 THEN ' call +555-123-4567 today'"
+    " WHEN doc_id % 4 = 2 THEN concat(' host 10.0.0.', doc_id % 256, ' up')"
+    " ELSE ' clean tail' END)"
+)
+
+
+def _pii_scrub_sql() -> str:
+    """DuckDB oracle for q_pii_scrub, generated from the SAME PII_RULES the
+    engine applies (sequential replace; each count on the text state its
+    rule sees)."""
+    from pdfsearch_spark.pipeline.curate import PII_RULES
+
+    sql = f"WITH s0 AS (SELECT doc_id, {PII_AUG_TEXT} AS t0 FROM documents)"
+    prev = "s0"
+    names = []
+    for i, (name, pat, token) in enumerate(PII_RULES, start=1):
+        lit = pat.replace("'", "''")
+        carried = ", ".join(f"n_{n}" for n in names)
+        carried = carried + ", " if carried else ""
+        sql += (
+            f",\ns{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t{i - 1}, '{lit}'))::INT AS n_{name}, "
+            f"regexp_replace(t{i - 1}, '{lit}', '{token}', 'g') AS t{i} "
+            f"FROM s{i - 1})"
+        )
+        names.append(name)
+    cols = ", ".join(f"n_{n}" for n in names)
+    sql += (
+        f"\nSELECT doc_id, {cols}, md5(t{len(PII_RULES)}) AS clean_md5"
+        f" FROM s{len(PII_RULES)}"
+    )
+    return sql
+
+
 def _bm25_ws_sql() -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     return f"""
@@ -600,6 +641,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real boundary behavior, not an all-pass filter)
         return curate.source_cap(_t(spark, sf, "documents"), cap=10)
 
+    def q_pii_scrub(spark, sf):
+        # email/phone/IPv4 redaction over a deterministically PII-augmented
+        # corpus; counts are int and clean text compares as md5 (both
+        # engines hash identical bytes). Pure codegen, no shuffle.
+        d = _t(spark, sf, "documents").select(
+            "doc_id", F.expr(PII_AUG_TEXT).alias("text")
+        )
+        out = curate.pii_scrub(d)
+        return out.select(
+            "doc_id",
+            F.col("n_email").cast("int").alias("n_email"),
+            F.col("n_phone").cast("int").alias("n_phone"),
+            F.col("n_ipv4").cast("int").alias("n_ipv4"),
+            F.expr("md5(clean_text)").alias("clean_md5"),
+        )
+
     def q_winnow(spark, sf):
         # fingerprint list serialized to a '_'-joined string so every engine
         # (and the driver's canonicalizer) hashes it identically
@@ -718,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_corpus_clean": q_corpus_clean,
         "q_source_cap": q_source_cap,
+        "q_pii_scrub": q_pii_scrub,
         "q_windowed_agg": q_windowed_agg,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
@@ -1202,6 +1260,7 @@ SELECT doc_id, source, n_chars, source_rank FROM (
          )::INT AS source_rank
   FROM documents
 ) WHERE source_rank <= 10""",
+        "q_pii_scrub": _pii_scrub_sql(),
         "q_corpus_clean": f"""
 WITH aug AS ({DOCS_AUG_SQL}),
 fp AS (SELECT doc_id, md5({NORM_D}) AS fingerprint FROM aug),

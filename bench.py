@@ -53,6 +53,7 @@ PIPELINE_QUERIES = [
     "q_ann_ivf",
     "q_windowed_agg",
     "q_source_cap",
+    "q_pii_scrub",
     "q_lang_id",
     "q_quality",
     "q_token_counts",

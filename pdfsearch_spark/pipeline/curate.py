@@ -124,3 +124,35 @@ def source_cap(
         .filter(F.col("source_rank") <= cap)
         .select("doc_id", "source", "n_chars", "source_rank")
     )
+
+
+# PII scrub rules, applied in this order; each is (name, regex, token).
+# Regexes deliberately use only the syntax subset that Java regex (Spark)
+# and RE2 (DuckDB oracle) interpret identically: char classes, bounded
+# repetition, (?:...) groups, \d, \b — no lookaround, no backrefs.
+PII_RULES = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}", "<PHONE>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses from `text_col` —
+    the PII-scrub pass of a webtext curation pipeline (cf. C4 / Dolma).
+
+    Rules apply SEQUENTIALLY in PII_RULES order and each count is taken on
+    the text state its rule actually sees, so e.g. an IP that only occurs
+    as an email's host part is consumed by the email rule and never counted
+    as an IP. Returns (doc_id, clean_text, n_email, n_phone, n_ipv4).
+
+    Scale shape: a single codegen projection — chained regexp_replace /
+    regexp_count, no shuffle, no UDF; runs at parquet-scan speed and
+    column-prunes to (doc_id, text).
+    """
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, token in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return docs.select("doc_id", cur.alias("clean_text"), *counts)

@@ -522,3 +522,42 @@ def test_source_cap_matches_bruteforce_skewed(spark):
     assert got == exp
     assert len([t for t in got if t[1] == "head"]) == cap
     assert len([t for t in got if t[1] == "tiny"]) == 3
+
+
+def test_pii_scrub_sequential_semantics(spark):
+    """Redaction + counts vs Python re, including the sequential-consumption
+    case (an IP inside an email host must be consumed by the email rule)."""
+    import re
+
+    from pdfsearch_spark.pipeline.curate import PII_RULES, pii_scrub
+
+    texts = [
+        "reach admin@example.com or +123-456-7890 now",
+        "host 10.0.0.37 and user.name+tag@sub.domain.org twice x@y.io",
+        "ip inside email host user@192.168.1.1.com is consumed",
+        "bare ip-domain user@192.168.1.1 is no email, ip survives",
+        "phone 555 1234 5678 and 999.9999.1234 edge",
+        "no pii here at all",
+        "",
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    for i, t in enumerate(texts):
+        cur = t or ""
+        exp_counts = {}
+        for name, pat, token in PII_RULES:
+            exp_counts[f"n_{name}"] = len(re.findall(pat, cur))
+            cur = re.sub(pat, token, cur)
+        r = got[i]
+        assert r["clean_text"] == cur, (i, r["clean_text"], cur)
+        for k, v in exp_counts.items():
+            assert r[k] == v, (i, k, r[k], v)
+    # sequential consumption: the IP inside an email host is redacted by
+    # the email rule and never counted as an IP...
+    assert got[2]["n_email"] == 1 and got[2]["n_ipv4"] == 0
+    # ...while an @ before a bare IP (not a valid email host — no letter
+    # TLD) leaves the IP for the ipv4 rule
+    assert got[3]["n_email"] == 0 and got[3]["n_ipv4"] == 1
