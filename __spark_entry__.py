@@ -217,6 +217,27 @@ def _pii_scrub_sql() -> str:
     return sql
 
 
+def _split_assign_sql() -> str:
+    """DuckDB oracle for q_split_assign, generated from the SAME
+    DEFAULT_SPLIT_WEIGHTS and threshold arithmetic the engine uses
+    (first 8 md5 hex chars of "doc_id:seed" as a uniform 32-bit bucket,
+    cumulative-weight CASE)."""
+    from pdfsearch_spark.pipeline.curate import DEFAULT_SPLIT_WEIGHTS
+
+    bucket = "cast(('0x' || substr(md5(doc_id::VARCHAR || ':v1'), 1, 8)) AS BIGINT)"
+    cum = 0.0
+    branches = []
+    for name, frac in DEFAULT_SPLIT_WEIGHTS[:-1]:
+        cum += frac
+        thr = int(cum * 4294967296)
+        branches.append(f"WHEN bucket < {thr} THEN '{name}'")
+    return f"""
+SELECT doc_id, bucket,
+       CASE {' '.join(branches)} ELSE '{DEFAULT_SPLIT_WEIGHTS[-1][0]}' END AS split
+FROM (SELECT doc_id, {bucket} AS bucket FROM documents)
+"""
+
+
 def _bm25_ws_sql() -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     return f"""
@@ -657,6 +678,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr("md5(clean_text)").alias("clean_md5"),
         )
 
+    def q_split_assign(spark, sf):
+        # deterministic train/val/test assignment: bucket = md5(key:seed)
+        # 32-bit prefix, split by cumulative-weight thresholds. Shuffle-free
+        # codegen projection; appending docs never reassigns existing ones.
+        return curate.split_assign(_t(spark, sf, "documents"))
+
     def q_winnow(spark, sf):
         # fingerprint list serialized to a '_'-joined string so every engine
         # (and the driver's canonicalizer) hashes it identically
@@ -776,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_clean": q_corpus_clean,
         "q_source_cap": q_source_cap,
         "q_pii_scrub": q_pii_scrub,
+        "q_split_assign": q_split_assign,
         "q_windowed_agg": q_windowed_agg,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
@@ -1261,6 +1289,7 @@ SELECT doc_id, source, n_chars, source_rank FROM (
   FROM documents
 ) WHERE source_rank <= 10""",
         "q_pii_scrub": _pii_scrub_sql(),
+        "q_split_assign": _split_assign_sql(),
         "q_corpus_clean": f"""
 WITH aug AS ({DOCS_AUG_SQL}),
 fp AS (SELECT doc_id, md5({NORM_D}) AS fingerprint FROM aug),

@@ -54,6 +54,7 @@ PIPELINE_QUERIES = [
     "q_windowed_agg",
     "q_source_cap",
     "q_pii_scrub",
+    "q_split_assign",
     "q_lang_id",
     "q_quality",
     "q_token_counts",

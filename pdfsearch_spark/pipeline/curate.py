@@ -156,3 +156,47 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, token)
     return docs.select("doc_id", cur.alias("clean_text"), *counts)
+
+
+DEFAULT_SPLIT_WEIGHTS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: tuple = DEFAULT_SPLIT_WEIGHTS,
+    seed: str = "v1",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the reproducible-split
+    op a training pipeline needs so the same document lands in the same
+    split on every run, on every cluster, regardless of partitioning or
+    row order.
+
+    bucket = first 8 hex chars of md5(key || ':' || seed) as a uniform
+    32-bit int; the split is chosen by cumulative-weight thresholds over
+    [0, 2^32). Properties:
+    - assignment depends ONLY on (key, seed): appending new docs never
+      reassigns existing ones (no modulo-over-count drift);
+    - changing `seed` re-rolls all assignments (for split rotation);
+    - shuffle-free single codegen projection, no UDF, no RNG state.
+
+    Returns (key_col, bucket, split). Weights are (name, fraction) pairs in
+    order; fractions must sum to 1.
+    """
+    total = sum(f for _, f in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = (
+        f"cast(conv(substr(md5(concat(cast({key_col} as string), ':{seed}')),"
+        " 1, 8), 16, 10) as bigint)"
+    )
+    cum = 0.0
+    branches = []
+    for name, frac in weights[:-1]:
+        cum += frac
+        thr = int(cum * 4294967296)
+        branches.append(f"WHEN bucket < {thr} THEN '{name}'")
+    split = f"CASE {' '.join(branches)} ELSE '{weights[-1][0]}' END"
+    return docs.select(key_col).select(
+        key_col, F.expr(bucket).alias("bucket")
+    ).select(key_col, "bucket", F.expr(split).alias("split"))

@@ -561,3 +561,54 @@ def test_pii_scrub_sequential_semantics(spark):
     # ...while an @ before a bare IP (not a valid email host — no letter
     # TLD) leaves the IP for the ipv4 rule
     assert got[3]["n_email"] == 0 and got[3]["n_ipv4"] == 1
+
+
+def test_split_assign_matches_hashlib_and_is_stable(spark):
+    """Bucket arithmetic vs hashlib; assignment is a pure function of
+    (key, seed): a subset of the corpus gets identical assignments, and
+    fractions roughly track the weights."""
+    import hashlib
+
+    from pdfsearch_spark.pipeline.curate import split_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    got = {r["doc_id"]: r for r in split_assign(docs).collect()}
+    assert len(got) == 2000
+    for i in [0, 1, 7, 42, 1999]:
+        exp_bucket = int(hashlib.md5(f"{i}:v1".encode()).hexdigest()[:8], 16)
+        assert got[i]["bucket"] == exp_bucket, i
+    # thresholds: 0.90 / 0.95 cumulative over [0, 2^32)
+    for r in got.values():
+        exp = (
+            "train"
+            if r["bucket"] < int(0.90 * 4294967296)
+            else "val"
+            if r["bucket"] < int(0.95 * 4294967296)
+            else "test"
+        )
+        assert r["split"] == exp
+    fracs = {s: sum(1 for r in got.values() if r["split"] == s) / 2000 for s in ("train", "val", "test")}
+    assert abs(fracs["train"] - 0.90) < 0.03
+    assert abs(fracs["val"] - 0.05) < 0.02
+    assert abs(fracs["test"] - 0.05) < 0.02
+    # subset invariance: appending/removing docs never reassigns survivors
+    sub = spark.createDataFrame([(i,) for i in range(0, 2000, 7)], "doc_id long")
+    for r in split_assign(sub).collect():
+        assert r["split"] == got[r["doc_id"]]["split"]
+    # a different seed re-rolls a meaningful share of assignments
+    moved = sum(
+        1
+        for r in split_assign(docs, seed="v2").collect()
+        if r["split"] != got[r["doc_id"]]["split"]
+    )
+    assert moved > 50
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    import pytest
+
+    from pdfsearch_spark.pipeline.curate import split_assign
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        split_assign(docs, weights=(("train", 0.8), ("test", 0.1)))
