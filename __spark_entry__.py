@@ -217,6 +217,59 @@ def _pii_scrub_sql() -> str:
     return sql
 
 
+# q_rebalance_mix targets: chosen so every branch is exercised at sf0.01
+# (fr binds at rate 1.0, en/de/es get fractional rates, zh is untargeted
+# and dropped). Shared by the Spark entry and the generated oracle.
+REBALANCE_TARGETS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+DECON_N = 3  # eval-overlap shingle width (13 in prod; 3 fits the toy texts)
+DECON_EVAL_PRED = "doc_id % 17 = 0"  # deterministic eval subset
+
+
+def _decontaminate_sql() -> str:
+    """DuckDB oracle for q_decontaminate: same normalization, same n-gram
+    construction (DuckDB lists are 1-based where Spark's sequence is
+    0-based), join on the raw gram string (equivalent to the engine's
+    md5-hash join), left join restores zero rows for clean docs."""
+    k = DECON_N
+    join = " || ' ' || ".join(f"ws[i + {j}]" for j in range(k))
+    grams = (
+        f"CASE WHEN len(ws) >= {k} THEN "
+        f"list_transform(range(1, len(ws) - {k - 2}), i -> {join}) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {WORDS_D} AS ws FROM documents),
+g AS (SELECT doc_id, {grams} AS gs FROM w),
+ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE {DECON_EVAL_PRED}),
+tr AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+hits AS (SELECT doc_id, count(*) AS n FROM tr JOIN ev USING (gram) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated,
+       coalesce(h.n, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def _rebalance_sql() -> str:
+    """DuckDB oracle for q_rebalance_mix, generated from the SAME
+    REBALANCE_TARGETS and the same double-precision rate arithmetic
+    (::DOUBLE casts everywhere — DuckDB would otherwise parse the target
+    literals as DECIMAL and diverge from Spark's IEEE doubles)."""
+    vals = ", ".join(
+        f"('{k}', {v}::DOUBLE)" for k, v in sorted(REBALANCE_TARGETS.items())
+    )
+    return f"""
+WITH tgt(lang, target) AS (VALUES {vals}),
+c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+j AS (SELECT c.lang, n, target FROM c JOIN tgt USING (lang)),
+t AS (SELECT min(n / target) AS total_out FROM j),
+r AS (SELECT lang, least(1.0::DOUBLE, target * total_out / n) AS rate FROM j, t)
+SELECT d.doc_id, d.lang, round(rate, 6) AS rate,
+       cast(('0x' || substr(md5(d.doc_id::VARCHAR || ':mix:v1'), 1, 8)) AS BIGINT)
+         < floor(rate * 4294967296) AS keep
+FROM documents d JOIN r USING (lang)
+"""
+
+
 def _split_assign_sql() -> str:
     """DuckDB oracle for q_split_assign, generated from the SAME
     DEFAULT_SPLIT_WEIGHTS and threshold arithmetic the engine uses
@@ -684,6 +737,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codegen projection; appending docs never reassigns existing ones.
         return curate.split_assign(_t(spark, sf, "documents"))
 
+    def q_decontaminate(spark, sf):
+        # eval-set n-gram decontamination: broadcast the (small) eval gram
+        # set, map-side join, per-doc hit counts; clean docs come back as 0
+        d = _t(spark, sf, "documents")
+        out = curate.decontaminate(
+            d, d.filter(F.expr(DECON_EVAL_PRED)), n=DECON_N
+        )
+        return out.select(
+            "doc_id",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            "contaminated",
+        )
+
+    def q_rebalance_mix(spark, sf):
+        # stratified downsampling to a target lang mixture; fr binds at
+        # rate 1.0, zh is untargeted and dropped
+        return curate.rebalance_mix(
+            _t(spark, sf, "documents"), REBALANCE_TARGETS
+        )
+
     def q_winnow(spark, sf):
         # fingerprint list serialized to a '_'-joined string so every engine
         # (and the driver's canonicalizer) hashes it identically
@@ -804,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_cap": q_source_cap,
         "q_pii_scrub": q_pii_scrub,
         "q_split_assign": q_split_assign,
+        "q_decontaminate": q_decontaminate,
+        "q_rebalance_mix": q_rebalance_mix,
         "q_windowed_agg": q_windowed_agg,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
@@ -1290,6 +1365,8 @@ SELECT doc_id, source, n_chars, source_rank FROM (
 ) WHERE source_rank <= 10""",
         "q_pii_scrub": _pii_scrub_sql(),
         "q_split_assign": _split_assign_sql(),
+        "q_decontaminate": _decontaminate_sql(),
+        "q_rebalance_mix": _rebalance_sql(),
         "q_corpus_clean": f"""
 WITH aug AS ({DOCS_AUG_SQL}),
 fp AS (SELECT doc_id, md5({NORM_D}) AS fingerprint FROM aug),

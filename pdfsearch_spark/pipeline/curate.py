@@ -158,6 +158,129 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", cur.alias("clean_text"), *counts)
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents that share any
+    word n-gram with a held-out evaluation set (cf. the GPT-3 paper's
+    13-gram overlap filter; Dolma / FineWeb run the same gate).
+
+    Returns one row per input doc: (doc_id, n_contaminated, contaminated)
+    where n_contaminated counts the doc's shingle positions whose n-gram
+    occurs anywhere in the eval set, and contaminated = n_contaminated >=
+    min_hits.
+
+    Scale shape — the two sides are wildly asymmetric and the plan exploits
+    that:
+    - eval side: benchmarks are ~1e5..1e7 n-grams even when the training
+      corpus is 100 TB. shingle (pure codegen) → md5 → distinct: one small
+      shuffle, result broadcast.
+    - train side: shingles + 16-byte md5 hashes are built in one codegen
+      projection (no raw-string explode), then exploded and broadcast-joined
+      against the eval hash set. The join is map-side, so only HIT rows
+      (rare) ever reach the per-doc count shuffle; clean docs cost a scan
+      and nothing else. A left join from the doc-id spine restores zero
+      rows for clean docs.
+    """
+    from pdfsearch_spark.pipeline.dedup import _shingle_expr
+
+    hashes = f"transform({_shingle_expr(n)}, s -> md5(s))"
+    eval_grams = (
+        eval_docs.select(F.explode(F.expr(hashes)).alias("gh")).distinct()
+    )
+    hits = (
+        docs.select("doc_id", F.explode(F.expr(hashes)).alias("gh"))
+        .join(F.broadcast(eval_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def rebalance_mix(
+    docs: DataFrame,
+    targets: dict,
+    stratum_col: str = "lang",
+    seed: str = "mix:v1",
+) -> DataFrame:
+    """Deterministic stratified downsampling to a target mixture — the
+    domain/language rebalancing step of a training-data pipeline ("make the
+    output 60% en / 30% code / 10% other"), keeping the maximum possible
+    volume subject to the mixture.
+
+    The most-underrepresented stratum binds: total_out = min_s(count_s /
+    target_s); each stratum keeps keep_s = target_s * total_out docs, i.e.
+    acceptance rate rate_s = target_s * total_out / count_s (= 1.0 for the
+    binding stratum). Acceptance is the same append-stable hash-threshold
+    rule as split_assign: accept iff the doc's 32-bit md5(key:seed) bucket
+    < rate_s * 2^32 — re-running on a grown corpus never flips survivors
+    within a stratum whose rate didn't move.
+
+    Returns one verdict row per doc in a targeted stratum:
+    (doc_id, <stratum_col>, rate, keep). Strata absent from `targets` are
+    dropped (rate would be 0). Target fractions must sum to 1.
+
+    Scale shape: one tiny groupBy(stratum) count (partial-agg map side →
+    |strata| rows), a scalar min over it, a broadcast join of |strata|
+    rate rows back onto the corpus, and a shuffle-free threshold filter.
+    No driver-side collect; the rates stay relational.
+    """
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target fractions must sum to 1, got {total}")
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        f"{stratum_col} string, target double",
+    )
+    counts = (
+        docs.groupBy(stratum_col)
+        .agg(F.count("*").cast("double").alias("n"))
+        .join(tgt, stratum_col)
+    )
+    total_out = counts.select(
+        F.min(F.col("n") / F.col("target")).alias("total_out")
+    )
+    rates = counts.crossJoin(F.broadcast(total_out)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0), F.col("target") * F.col("total_out") / F.col("n")
+        ).alias("rate"),
+    )
+    bucket = (
+        "cast(conv(substr(md5(concat(cast(doc_id as string), "
+        f"':{seed}')), 1, 8), 16, 10) as bigint)"
+    )
+    return (
+        docs.select("doc_id", stratum_col)
+        .join(F.broadcast(rates), stratum_col)
+        .select(
+            "doc_id",
+            stratum_col,
+            F.round("rate", 6).alias("rate"),
+            (
+                # explicit floor: Spark's double→bigint cast truncates but
+                # DuckDB's rounds, so the threshold must be floored in both
+                F.expr(bucket)
+                < F.floor(F.col("rate") * F.lit(4294967296.0))
+            ).alias("keep"),
+        )
+    )
+
+
 DEFAULT_SPLIT_WEIGHTS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
 
 
