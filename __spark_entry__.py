@@ -532,7 +532,13 @@ def _fts_prefix_sql() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from pdfsearch_spark.pipeline import curate, dedup, similarity, textstats
+    from pdfsearch_spark.pipeline import (
+        corpusstats,
+        curate,
+        dedup,
+        similarity,
+        textstats,
+    )
 
     # ---- relational skeleton (SURVEY.md §2.1/2.5/2.6) ----
 
@@ -757,6 +763,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), REBALANCE_TARGETS
         )
 
+    def q_tfidf_topk(spark, sf):
+        # corpus-relative keyword extraction: df/idf over the whole corpus,
+        # broadcast back, per-doc window top-k on the rounded score
+        return corpusstats.tfidf_topk(_docs_par(spark, sf), k=5)
+
+    def q_unigram_logprob(spark, sf):
+        # corpus-internal unigram LM score (CCNet-perplexity-filter analog)
+        return corpusstats.unigram_logprob(_docs_par(spark, sf))
+
+    def q_length_profile(spark, sf):
+        # per-lang length distribution: exact percentiles (oracle-checkable);
+        # exact=False is the GK-sketch scale path, tested in pytest
+        return corpusstats.length_profile(_t(spark, sf, "documents"))
+
     def q_winnow(spark, sf):
         # fingerprint list serialized to a '_'-joined string so every engine
         # (and the driver's canonicalizer) hashes it identically
@@ -879,6 +899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_decontaminate": q_decontaminate,
         "q_rebalance_mix": q_rebalance_mix,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_length_profile": q_length_profile,
         "q_windowed_agg": q_windowed_agg,
         "q_winnow": q_winnow,
         "q_media_meta": q_media_meta,
@@ -1367,6 +1390,47 @@ SELECT doc_id, source, n_chars, source_rank FROM (
         "q_split_assign": _split_assign_sql(),
         "q_decontaminate": _decontaminate_sql(),
         "q_rebalance_mix": _rebalance_sql(),
+        "q_tfidf_topk": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({WORDS_D}, w -> w != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, term, tf,
+         round(tf * (ln((1 + n_docs) / (1 + df)) + 1), 6) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, score, term_rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC
+  ) AS term_rank FROM s
+) WHERE term_rank <= 5""",
+        "q_unigram_logprob": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({WORDS_D}, w -> w != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT sum(cnt)::DOUBLE AS total_tokens FROM vocab),
+pd AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         round(sum(tf * ln(cnt / total_tokens)) / sum(tf), 6) AS mean_logprob
+  FROM tf JOIN vocab USING (term), tot GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens, mean_logprob
+FROM documents d LEFT JOIN pd USING (doc_id)""",
+        "q_length_profile": """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(avg(n_chars), 6) AS mean_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang""",
         "q_corpus_clean": f"""
 WITH aug AS ({DOCS_AUG_SQL}),
 fp AS (SELECT doc_id, md5({NORM_D}) AS fingerprint FROM aug),

@@ -1,0 +1,172 @@
+"""Corpus-level statistics for training-data curation: TF-IDF keyword
+extraction, unigram language-model scoring, and per-stratum length profiles.
+
+Unlike textstats.py (single-pass, shuffle-free, per-document), every op here
+is a corpus-relative statistic: it needs at least one aggregation over the
+whole corpus (document frequencies, unigram counts, per-language
+distributions) before the per-document answer exists. The scale shape is the
+same in all three: map-side partial aggregation into a vocabulary- or
+stratum-sized table, then a join back onto the big side.
+
+Skew note (applies to tfidf_topk and unigram_logprob): the join key is the
+term, and term frequencies are Zipfian — the 'the' partition of a naive
+shuffle join would hold a constant fraction of the corpus. The vocab-side
+table is tiny relative to the corpus (O(|vocab|) rows), so we broadcast it
+when Spark's threshold allows and rely on AQE skew-join splitting otherwise
+(spark.sql.adaptive.enabled is on in our sessions); at 100 TB the broadcast
+is the plan you want and |vocab| (~1e8 rows of (term, count)) still fits a
+few GB executor broadcast comfortably after the partial agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pdfsearch_spark.pipeline.textstats import WORDS
+
+# Non-empty whitespace tokens; split('', ' ') yields [''] so the filter is
+# what makes empty/null docs produce zero tokens rather than one.
+_TOKENS = f"filter({WORDS}, w -> w != '')"
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("term")
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k keyword extraction per document by smoothed TF-IDF.
+
+    idf = ln((1 + N) / (1 + df)) + 1 (the sklearn smooth-idf formula — never
+    zero, never divides by zero); score = tf * idf. Returns
+    (doc_id, term, tf, score, term_rank) for the k highest-scoring terms per
+    doc; ranking uses the ROUNDED score with the term string as tie-break so
+    the ordering is engine-portable (two engines may disagree in the last
+    ulp of ln, never after round-to-6).
+
+    Plan: explode → (doc_id, term) partial-agg count [shuffle 1] → per-term
+    df [shuffle 2, vocab-sized output] → broadcast df back onto tf → per-doc
+    window top-k [shuffle 3, keyed by doc_id so perfectly balanced]. Docs
+    with no tokens simply emit no rows.
+    """
+    tf = _tokens(docs).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(
+        F.broadcast(n_docs)
+    ).select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf")
+            * (
+                F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + F.lit(1.0)
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-internal unigram LM scoring — the cheap analog of CCNet's
+    KenLM perplexity filter: documents whose tokens are improbable under the
+    corpus's own unigram distribution (rare-token soup, boilerplate hashes,
+    non-linguistic noise) score low and can be gated on.
+
+    Returns one row per input doc: (doc_id, n_tokens, mean_logprob) where
+    mean_logprob = mean over token positions of ln(count(term)/total_tokens)
+    (natural log, maximum-likelihood unigram, no OOV by construction since
+    the vocabulary is fitted on the same corpus). Empty docs keep a row with
+    n_tokens = 0 and NULL mean_logprob.
+
+    Plan: one (doc_id, term) tf aggregation [shuffle 1], a vocab-sized term
+    count [shuffle 2] whose grand total rides along as a broadcast scalar,
+    broadcast-join back, then a per-doc weighted mean [shuffle 3 on doc_id].
+    The corpus is scanned once.
+    """
+    tf = _tokens(docs).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.select(F.sum("cnt").alias("total_tokens"))
+    scored = tf.join(F.broadcast(vocab), "term").crossJoin(
+        F.broadcast(total)
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            F.sum(
+                F.col("tf")
+                * F.log(F.col("cnt") / F.col("total_tokens"))
+            )
+            / F.sum("tf"),
+            6,
+        ).alias("mean_logprob"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "mean_logprob",
+        )
+    )
+
+
+PROFILE_PCTS = (0.5, 0.9, 0.99)
+
+
+def length_profile(
+    docs: DataFrame,
+    by: str = "lang",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum document-length distribution — the corpus-monitoring
+    numbers a curation pipeline tracks run-over-run (did the p99 length of
+    'en' docs jump after a crawler change?).
+
+    Returns (by, n_docs, mean_chars, p50/p90/p99_chars, min/max_chars).
+    exact=True uses the exact `percentile` aggregate (linear interpolation,
+    identical to DuckDB's quantile_cont) — it buffers each group's values,
+    which is fine while strata counts are bounded; exact=False switches to
+    approx_percentile (GK sketch, mergeable, bounded memory) — the 100 TB
+    path, at the cost of oracle-exactness.
+    """
+    pcts = ", ".join(str(p) for p in PROFILE_PCTS)
+    fn = "percentile" if exact else "approx_percentile"
+    qs = F.expr(f"{fn}(n_chars, array({pcts}))")
+    return (
+        docs.groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            qs.alias("qs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            by,
+            "n_docs",
+            "mean_chars",
+            *[
+                F.round(F.col("qs")[i].cast("double"), 6).alias(
+                    f"p{int(p * 100)}_chars"
+                )
+                for i, p in enumerate(PROFILE_PCTS)
+            ],
+            "min_chars",
+            "max_chars",
+        )
+    )

@@ -690,3 +690,134 @@ def test_rebalance_mix_exact_rates_and_stability(spark):
 
     with pytest.raises(ValueError):
         rebalance_mix(docs, {"en": 0.5, "de": 0.2})
+
+
+# ------------------------------------------------ corpus-level statistics
+
+
+def test_tfidf_topk_matches_naive(spark):
+    """Scores, membership, and rank order vs a direct Python TF-IDF over a
+    corpus engineered with rare terms (high idf), ubiquitous terms (low
+    idf), ties, and an empty doc (emits no rows)."""
+    import math
+
+    from pdfsearch_spark.pipeline.corpusstats import tfidf_topk
+
+    texts = [
+        "apple apple apple banana common common",
+        "banana cherry cherry common common common",
+        "durian common apple",
+        "common",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    k = 3
+    got = {}
+    for r in tfidf_topk(docs, k=k).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+
+    toks = [t.split() if t else [] for t in texts]
+    n = len(texts)
+    df = {}
+    for ws in toks:
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+    assert sorted(got) == [0, 1, 2, 3]  # doc 4 empty -> absent
+    for i, ws in enumerate(toks):
+        if not ws:
+            continue
+        exp = sorted(
+            (
+                (
+                    -round(
+                        ws.count(t) * (math.log((1 + n) / (1 + df[t])) + 1), 6
+                    ),
+                    t,
+                )
+                for t in set(ws)
+            ),
+        )[:k]
+        rows = sorted(got[i], key=lambda r: r["term_rank"])
+        assert [r["term"] for r in rows] == [t for _, t in exp], (i, rows)
+        for r, (neg_s, _) in zip(rows, exp):
+            assert abs(r["score"] - (-neg_s)) < 1e-9
+            assert r["tf"] == toks[i].count(r["term"])
+        assert [r["term_rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+
+
+def test_unigram_logprob_matches_naive(spark):
+    """Weighted mean token log-probability vs a direct Python computation;
+    empty/null docs keep their row with n_tokens=0 and NULL score; rare-token
+    docs score strictly lower than common-token docs."""
+    import math
+
+    from pdfsearch_spark.pipeline.corpusstats import unigram_logprob
+
+    texts = [
+        "the the the the cat",
+        "the the cat cat sat",
+        "zyzzyva qwerty",
+        "",
+        None,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert len(got) == len(texts)
+
+    toks = [(t or "").split() for t in texts]
+    cnt = {}
+    for ws in toks:
+        for t in ws:
+            cnt[t] = cnt.get(t, 0) + 1
+    total = sum(cnt.values())
+    for i, ws in enumerate(toks):
+        assert got[i]["n_tokens"] == len(ws)
+        if not ws:
+            assert got[i]["mean_logprob"] is None
+            continue
+        exp = sum(math.log(cnt[t] / total) for t in ws) / len(ws)
+        assert abs(got[i]["mean_logprob"] - round(exp, 6)) < 1e-6, (i, exp)
+    assert got[2]["mean_logprob"] < got[0]["mean_logprob"]
+
+
+def test_length_profile_exact_and_approx(spark):
+    """Exact percentiles vs numpy's linear-interpolation quantiles; the
+    approx (GK sketch) path stays within a loose rank tolerance of exact."""
+    import numpy as np
+
+    from pdfsearch_spark.pipeline.corpusstats import length_profile
+
+    rng = random.Random(7)
+    rows = [(i, "en", rng.randrange(10, 5000)) for i in range(400)] + [
+        (1000 + i, "de", rng.randrange(100, 800)) for i in range(57)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = {r["lang"]: r for r in length_profile(docs).collect()}
+    by_lang = {"en": [], "de": []}
+    for _, lang, c in rows:
+        by_lang[lang].append(c)
+    for lang, vals in by_lang.items():
+        a = np.array(sorted(vals), dtype=float)
+        r = out[lang]
+        assert r["n_docs"] == len(vals)
+        assert abs(r["mean_chars"] - round(float(a.mean()), 6)) < 1e-6
+        for p in (50, 90, 99):
+            exp = float(np.quantile(a, p / 100, method="linear"))
+            assert abs(r[f"p{p}_chars"] - exp) < 1e-6, (lang, p, r, exp)
+        assert r["min_chars"] == min(vals) and r["max_chars"] == max(vals)
+    approx = {
+        r["lang"]: r for r in length_profile(docs, exact=False).collect()
+    }
+    for lang, vals in by_lang.items():
+        spread = max(vals) - min(vals)
+        for p in (50, 90, 99):
+            assert (
+                abs(approx[lang][f"p{p}_chars"] - out[lang][f"p{p}_chars"])
+                <= 0.1 * spread
+            )
