@@ -55,6 +55,11 @@ PIPELINE_QUERIES = [
     "q_source_cap",
     "q_pii_scrub",
     "q_split_assign",
+    "q_decontaminate",
+    "q_rebalance_mix",
+    "q_tfidf_topk",
+    "q_unigram_logprob",
+    "q_length_profile",
     "q_lang_id",
     "q_quality",
     "q_token_counts",
