@@ -850,6 +850,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = multimodal.attach_media(_docs_par(spark, sf))
         return multimodal.frame_sample(m)
 
+    # ---- ingest connectors (JSONL / WARC over a deterministic fixture;
+    # DuckDB independently re-parses the JSONL file, and the WARC oracle is
+    # the record manifest the serializer was driven from — the Spark scan
+    # must invert the serialization byte-exactly to match) ----
+
+    def q_jsonl_scan(spark, sf):
+        from pdfsearch_spark.sources.jsonl import read_docs_jsonl
+
+        jl, _, _ = _ingest_fixtures()
+        return read_docs_jsonl(spark, jl).select(
+            F.coalesce("doc_id", F.lit(-1)).alias("doc_id"),
+            "lang",
+            "source",
+            "n_chars",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+
+    def q_jsonl_health(spark, sf):
+        from pdfsearch_spark.sources.jsonl import corrupt_rate, read_docs_jsonl
+
+        jl, _, _ = _ingest_fixtures()
+        return corrupt_rate(read_docs_jsonl(spark, jl, keep_corrupt=True))
+
+    def q_warc_scan(spark, sf):
+        from pdfsearch_spark.sources.warc import read_warc
+
+        _, wd, _ = _ingest_fixtures()
+        return read_warc(spark, wd).select(
+            "warc_file",
+            "record_id",
+            "warc_type",
+            F.coalesce("target_uri", F.lit("")).alias("target_uri"),
+            "content_length",
+            F.md5("payload").alias("payload_md5"),
+        )
+
     # ---- the real FTS engine (driver-oracled: the entry materializes the
     # Spark-tokenized tokens table to parquet; DuckDB recomputes the full
     # df/tf/dl/idf-clamp BM25 arithmetic from it — same split q_bm25_ws
@@ -908,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": q_media_features,
         "q_resize": q_resize,
         "q_frame_sample": q_frame_sample,
+        "q_jsonl_scan": q_jsonl_scan,
+        "q_jsonl_health": q_jsonl_health,
+        "q_warc_scan": q_warc_scan,
         "q_fts_bm25": q_fts_bm25,
         "q_fts_phrase": q_fts_phrase,
         "q_fts_prefix": q_fts_prefix,
@@ -1010,6 +1049,157 @@ def _fts_ranked(spark: SparkSession, query: str) -> DataFrame:
         "doc_id",
         F.round("score", 6).alias("score"),
         F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+# ------------------------------------------------------- ingest fixtures
+
+_INGEST_DIR = "/tmp/spark_entry_ingest_v1"  # version-keyed: format bumps rebuild
+_INGEST_N_JSONL = 240
+_INGEST_N_WARC = 60
+
+# vocab includes multi-byte UTF-8 so the hash check covers encoding fidelity
+_INGEST_VOCAB = [
+    "data", "spark", "index", "café", "naïve", "查询", "corpus", "token",
+    "shard", "merge", "crawl", "filter", "près", "straße", "query", "web",
+]
+
+
+def _ingest_doc(i: int) -> tuple[int, str, str, str]:
+    """Deterministic synthetic crawl doc i → (doc_id, text, lang, source)."""
+    import hashlib
+
+    h = hashlib.md5(f"ingest-{i}".encode()).digest()
+    n_words = 3 + h[0] % 12
+    words = [
+        _INGEST_VOCAB[(h[j % 16] + i * 7 + j) % len(_INGEST_VOCAB)]
+        for j in range(n_words)
+    ]
+    return 1000 + i, " ".join(words), ["en", "fr", "de", "es"][i % 4], f"src{i % 7}"
+
+
+def _ingest_fixtures() -> tuple[str, str, str]:
+    """Materialize the deterministic ingest fixtures (idempotent, atomic):
+
+    - ``docs.jsonl``: a crawl dump with two corrupt-line classes (truncated
+      JSON, non-JSON garbage) and a missing-primary-key class — DuckDB
+      re-parses the same file independently (read_json ignore_errors
+      null-pads bad lines, so corrupt == all-data-columns-null there);
+    - ``warc/``: a plain .warc + a gzipped .warc.gz serialized with
+      sources.warc.warc_bytes, including payloads that embed the record
+      separator + a fake version line (Content-Length framing must win),
+      empty payloads, and warcinfo records without a target URI;
+    - ``warc_expected.parquet``: the record manifest (md5s computed
+      driver-side with hashlib from the source records, NOT via parse_warc —
+      the Spark scan must recover exact payload bytes to match).
+    """
+    jsonl_path = os.path.join(_INGEST_DIR, "docs.jsonl")
+    warc_dir = os.path.join(_INGEST_DIR, "warc")
+    expected_path = os.path.join(_INGEST_DIR, "warc_expected.parquet")
+    if all(
+        os.path.exists(p)
+        for p in (jsonl_path, expected_path, os.path.join(warc_dir, "a.warc"))
+    ):
+        return jsonl_path, warc_dir, expected_path
+    import gzip
+    import hashlib
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdfsearch_spark.sources.warc import warc_bytes
+
+    os.makedirs(warc_dir, exist_ok=True)
+
+    lines = []
+    for i in range(_INGEST_N_JSONL):
+        did, text, lang, source = _ingest_doc(i)
+        if i % 17 == 5:  # truncated JSON (unterminated string)
+            lines.append('{"doc_id": %d, "text": "truncated' % did)
+        elif i % 29 == 11:  # non-JSON garbage
+            lines.append(f"!! not json at all {i}")
+        elif i % 23 == 7:  # valid JSON, primary key missing (schema drift)
+            lines.append(
+                json.dumps(
+                    {"text": text, "lang": lang, "source": source,
+                     "n_chars": len(text)},
+                    ensure_ascii=False,
+                )
+            )
+        else:
+            lines.append(
+                json.dumps(
+                    {"doc_id": did, "text": text, "lang": lang,
+                     "source": source, "n_chars": len(text)},
+                    ensure_ascii=False,
+                )
+            )
+    with open(jsonl_path + ".tmp", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(jsonl_path + ".tmp", jsonl_path)
+
+    recs = []
+    for i in range(_INGEST_N_WARC):
+        did, text, lang, source = _ingest_doc(1000 + i)
+        payload = text.encode("utf-8")
+        if i % 13 == 3:  # separator + fake version line INSIDE the payload
+            payload = b"x\r\n\r\nWARC/1.0\r\nfake: header\r\n\r\n" + payload
+        if i % 19 == 8:
+            payload = b""
+        meta = i % 11 == 6
+        recs.append(
+            {
+                "record_id": f"<urn:ingest:{i}>",
+                "warc_type": "warcinfo" if meta else "response",
+                "target_uri": None if meta else f"https://example.test/{source}/{did}",
+                "payload": payload,
+            }
+        )
+    split = (40, _INGEST_N_WARC)
+    exp: dict[str, list] = {
+        "warc_file": [], "record_id": [], "warc_type": [],
+        "target_uri": [], "content_length": [], "payload_md5": [],
+    }
+    for fname, rs in (("a.warc", recs[: split[0]]), ("b.warc.gz", recs[split[0]:])):
+        for r in rs:
+            exp["warc_file"].append(fname)
+            exp["record_id"].append(r["record_id"])
+            exp["warc_type"].append(r["warc_type"])
+            exp["target_uri"].append(r["target_uri"] or "")
+            exp["content_length"].append(len(r["payload"]))
+            exp["payload_md5"].append(hashlib.md5(r["payload"]).hexdigest())
+    with open(os.path.join(warc_dir, "a.warc.tmp"), "wb") as f:
+        f.write(warc_bytes(recs[: split[0]]))
+    os.replace(os.path.join(warc_dir, "a.warc.tmp"), os.path.join(warc_dir, "a.warc"))
+    with open(os.path.join(warc_dir, "b.warc.gz.tmp"), "wb") as f:
+        f.write(gzip.compress(warc_bytes(recs[split[0]:]), mtime=0))
+    os.replace(
+        os.path.join(warc_dir, "b.warc.gz.tmp"), os.path.join(warc_dir, "b.warc.gz")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "warc_file": pa.array(exp["warc_file"], pa.string()),
+                "record_id": pa.array(exp["record_id"], pa.string()),
+                "warc_type": pa.array(exp["warc_type"], pa.string()),
+                "target_uri": pa.array(exp["target_uri"], pa.string()),
+                "content_length": pa.array(exp["content_length"], pa.int64()),
+                "payload_md5": pa.array(exp["payload_md5"], pa.string()),
+            }
+        ),
+        expected_path + ".tmp",
+    )
+    os.replace(expected_path + ".tmp", expected_path)
+    return jsonl_path, warc_dir, expected_path
+
+
+def _ingest_jsonl_read_sql() -> str:
+    return (
+        f"read_json('{os.path.join(_INGEST_DIR, 'docs.jsonl')}', "
+        "format='newline_delimited', "
+        "columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR', "
+        "source: 'VARCHAR', n_chars: 'BIGINT'}, ignore_errors=true)"
     )
 
 
@@ -1504,6 +1694,26 @@ FROM documents
         "q_media_features": _media_features_sql(),
         "q_resize": _resize_sql(),
         "q_frame_sample": _frame_sample_sql(),
+        "q_jsonl_scan": f"""
+SELECT coalesce(doc_id, -1) AS doc_id, lang, source, n_chars,
+       md5(text) AS text_md5
+FROM {_ingest_jsonl_read_sql()}
+WHERE text IS NOT NULL
+""",
+        "q_jsonl_health": f"""
+SELECT count(*) AS n_rows,
+       count(CASE WHEN text IS NULL THEN 1 END) AS n_corrupt,
+       count(CASE WHEN text IS NOT NULL AND doc_id IS NULL THEN 1 END)
+         AS n_missing_key,
+       round(count(CASE WHEN text IS NULL THEN 1 END) * 1.0 / count(*), 6)
+         AS corrupt_rate
+FROM {_ingest_jsonl_read_sql()}
+""",
+        "q_warc_scan": f"""
+SELECT warc_file, record_id, warc_type, target_uri, content_length,
+       payload_md5
+FROM read_parquet('{os.path.join(_INGEST_DIR, "warc_expected.parquet")}')
+""",
         "q_fts_bm25": _fts_bm25_sql(),
         "q_fts_phrase": _fts_phrase_sql(),
         "q_fts_prefix": _fts_prefix_sql(),

@@ -1,0 +1,130 @@
+"""Minimal WARC source — the container web crawls actually ship in.
+
+Format per ISO 28500 / the public WARC 1.1 spec (also warcio's docs): a
+record is a header block (`WARC/1.x` version line + `Name: value` lines,
+CRLF-terminated, blank CRLF line ends the block), `Content-Length` octets
+of payload, then the `\\r\\n\\r\\n` record separator. Files are commonly
+stored with each record its own gzip member; `gzip.decompress` handles the
+concatenated-member stream.
+
+Scale shape: the scan is `binaryFile` (one task per WARC file) feeding an
+Arrow-batched `mapInPandas` parser — which is exactly how distributed WARC
+processing is laid out in practice (Common Crawl ships ~1 GB files; the
+file IS the parallelism unit, cf. each of ccnet/Dolma assigning whole WARC
+shards to workers). The parser is pure sequential byte-walking per file —
+precisely the "per-partition imperative logic" case where mapInPandas is
+the right tool, not a regression to row-at-a-time Python: one Python call
+per FILE, not per record. Records stream out in batches, so a file's
+records never need to fit in one pandas block... but the file bytes do
+(binaryFile materializes the file); for multi-GB archives, split them into
+per-member ranges upstream — the standard crawl layout already does.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "warc_file string, record_id string, warc_type string, "
+    "target_uri string, content_length long, payload binary"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def warc_bytes(records: list[dict]) -> bytes:
+    """Serialize records (dicts with record_id/warc_type/target_uri/payload)
+    to WARC bytes — deterministic, for tests and fixture synthesis."""
+    out = bytearray()
+    for r in records:
+        payload = r["payload"]
+        headers = [
+            "WARC/1.0",
+            f"WARC-Type: {r.get('warc_type', 'response')}",
+            f"WARC-Record-ID: {r['record_id']}",
+        ]
+        if r.get("target_uri") is not None:
+            headers.append(f"WARC-Target-URI: {r['target_uri']}")
+        headers.append(f"Content-Length: {len(payload)}")
+        out += "\r\n".join(headers).encode("utf-8") + _CRLF2
+        out += payload + _CRLF2
+    return bytes(out)
+
+
+def parse_warc(buf: bytes, name: str = "") -> list[tuple]:
+    """Parse one WARC file's bytes into record tuples (pure function —
+    unit-testable without Spark). Tolerates gzip (multi-member), skips
+    garbage between records by resyncing on the next 'WARC/' magic."""
+    if buf[:2] == b"\x1f\x8b":
+        buf = gzip.decompress(buf)
+    rows = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        start = buf.find(b"WARC/", pos)
+        if start < 0:
+            break
+        hdr_end = buf.find(_CRLF2, start)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        lines = buf[start:hdr_end].decode("utf-8", "replace").split("\r\n")
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            if v:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = hdr_end + len(_CRLF2)
+            continue
+        body_start = hdr_end + len(_CRLF2)
+        payload = buf[body_start : body_start + clen]
+        rows.append(
+            (
+                name,
+                headers.get("warc-record-id", ""),
+                headers.get("warc-type", ""),
+                headers.get("warc-target-uri"),
+                len(payload),
+                bytes(payload),
+            )
+        )
+        pos = body_start + clen
+    return rows
+
+
+def read_warc(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Scan WARC files under `path` into one row per record:
+    (warc_file, record_id, warc_type, target_uri, content_length, payload).
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "warc_file",
+            "record_id",
+            "warc_type",
+            "target_uri",
+            "content_length",
+            "payload",
+        ]
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                name = path_.rsplit("/", 1)[-1]
+                rows = parse_warc(bytes(content), name)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(_parse, WARC_SCHEMA)

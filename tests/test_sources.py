@@ -1,0 +1,113 @@
+"""JSONL and WARC source connectors: schema enforcement, corrupt-line
+tolerance, WARC round-trip (plain + gzip multi-member + garbage resync)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from pdfsearch_spark.sources.jsonl import (
+    corrupt_rate,
+    read_docs_jsonl,
+)
+from pdfsearch_spark.sources.warc import parse_warc, read_warc, warc_bytes
+
+
+# ------------------------------------------------------------------ jsonl
+
+
+def _write_jsonl(tmp_path, lines):
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(tmp_path)
+
+
+GOOD = [
+    {"doc_id": 1, "text": "hello world", "lang": "en", "source": "a", "n_chars": 11},
+    {"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "b", "n_chars": 7},
+    {"doc_id": 3, "text": None, "lang": "de", "source": "c", "n_chars": 0},
+]
+
+
+def test_jsonl_reads_good_rows_with_declared_schema(spark, tmp_path):
+    path = _write_jsonl(tmp_path, [json.dumps(r) for r in GOOD])
+    got = {r["doc_id"]: r for r in read_docs_jsonl(spark, path).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert got[1]["text"] == "hello world" and got[1]["n_chars"] == 11
+    assert got[3]["text"] is None
+    assert read_docs_jsonl(spark, path).schema["doc_id"].dataType.typeName() == "long"
+
+
+def test_jsonl_corrupt_lines_are_metrics_not_exceptions(spark, tmp_path):
+    lines = [json.dumps(GOOD[0]), "{truncated", "not json at all",
+             json.dumps(GOOD[1]),
+             json.dumps({"text": "valid json, no key"})]
+    path = _write_jsonl(tmp_path, lines)
+    clean = read_docs_jsonl(spark, path)
+    assert sorted(r["doc_id"] for r in clean.collect() if r["doc_id"]) == [1, 2]
+    with_c = read_docs_jsonl(spark, path, keep_corrupt=True)
+    stats = corrupt_rate(with_c).collect()[0]
+    assert stats["n_rows"] == 5 and stats["n_corrupt"] == 2
+    assert stats["n_missing_key"] == 1
+    assert abs(stats["corrupt_rate"] - 0.4) < 1e-9
+    bad = [r["_corrupt_record"] for r in with_c.collect() if r["_corrupt_record"]]
+    assert "{truncated" in bad and "not json at all" in bad
+
+
+# ------------------------------------------------------------------ warc
+
+
+RECS = [
+    {"record_id": "<urn:doc:1>", "warc_type": "response",
+     "target_uri": "https://a/1", "payload": b"hello warc"},
+    {"record_id": "<urn:doc:2>", "warc_type": "response",
+     "target_uri": "https://a/2", "payload": "café 中".encode()},
+    {"record_id": "<urn:meta:3>", "warc_type": "warcinfo",
+     "target_uri": None, "payload": b""},
+    # payload that CONTAINS the record separator and a fake version line:
+    # Content-Length framing must win over any delimiter scanning
+    {"record_id": "<urn:doc:4>", "warc_type": "response",
+     "target_uri": "https://a/4",
+     "payload": b"x\r\n\r\nWARC/1.0\r\nfake: header\r\n\r\ny"},
+]
+
+
+def test_parse_warc_roundtrip_pure():
+    rows = parse_warc(warc_bytes(RECS), "f.warc")
+    assert len(rows) == len(RECS)
+    for r, exp in zip(rows, RECS):
+        assert r[1] == exp["record_id"]
+        assert r[2] == exp["warc_type"]
+        assert r[3] == exp["target_uri"]
+        assert r[4] == len(exp["payload"])
+        assert r[5] == exp["payload"]
+
+
+def test_parse_warc_gzip_multimember_and_garbage_resync():
+    # per-record gzip members, concatenated — the standard .warc.gz layout
+    gz = b"".join(gzip.compress(warc_bytes([r])) for r in RECS)
+    assert [r[1] for r in parse_warc(gz)] == [r["record_id"] for r in RECS]
+    # garbage between records: resync on the next WARC/ magic
+    dirty = (
+        b"JUNK" + warc_bytes([RECS[0]]) + b"\x00\x01garbage" + warc_bytes([RECS[1]])
+    )
+    got = parse_warc(dirty)
+    assert [r[1] for r in got] == ["<urn:doc:1>", "<urn:doc:2>"]
+
+
+def test_read_warc_spark_scan(spark, tmp_path):
+    (tmp_path / "a.warc").write_bytes(warc_bytes(RECS[:2]))
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(warc_bytes(RECS[2:])))
+    (tmp_path / "ignored.txt").write_text("not a warc")
+    df = read_warc(spark, str(tmp_path))
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert sorted(rows) == sorted(r["record_id"] for r in RECS)
+    assert rows["<urn:doc:2>"]["payload"] == RECS[1]["payload"]
+    assert rows["<urn:doc:2>"]["warc_file"] == "a.warc"
+    assert rows["<urn:meta:3>"]["warc_file"] == "b.warc.gz"
+    assert rows["<urn:doc:4>"]["content_length"] == len(RECS[3]["payload"])
+    # responses only, filtered relationally after the parse
+    assert df.filter("warc_type = 'response'").count() == 3
