@@ -886,6 +886,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("payload").alias("payload_md5"),
         )
 
+    def q_wet_scan(spark, sf):
+        from pdfsearch_spark.sources.wet import read_wet
+
+        _ingest_fixtures()
+        return read_wet(spark, os.path.join(_INGEST_DIR, "wet")).select(
+            "url",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+            "n_chars",
+        )
+
     # ---- the real FTS engine (driver-oracled: the entry materializes the
     # Spark-tokenized tokens table to parquet; DuckDB recomputes the full
     # df/tf/dl/idf-clamp BM25 arithmetic from it — same split q_bm25_ws
@@ -947,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jsonl_scan": q_jsonl_scan,
         "q_jsonl_health": q_jsonl_health,
         "q_warc_scan": q_warc_scan,
+        "q_wet_scan": q_wet_scan,
         "q_fts_bm25": q_fts_bm25,
         "q_fts_phrase": q_fts_phrase,
         "q_fts_prefix": q_fts_prefix,
@@ -1054,9 +1065,10 @@ def _fts_ranked(spark: SparkSession, query: str) -> DataFrame:
 
 # ------------------------------------------------------- ingest fixtures
 
-_INGEST_DIR = "/tmp/spark_entry_ingest_v1"  # version-keyed: format bumps rebuild
+_INGEST_DIR = "/tmp/spark_entry_ingest_v2"  # version-keyed: format bumps rebuild
 _INGEST_N_JSONL = 240
 _INGEST_N_WARC = 60
+_INGEST_N_WET = 50
 
 # vocab includes multi-byte UTF-8 so the hash check covers encoding fidelity
 _INGEST_VOCAB = [
@@ -1095,10 +1107,18 @@ def _ingest_fixtures() -> tuple[str, str, str]:
     """
     jsonl_path = os.path.join(_INGEST_DIR, "docs.jsonl")
     warc_dir = os.path.join(_INGEST_DIR, "warc")
+    wet_dir = os.path.join(_INGEST_DIR, "wet")
     expected_path = os.path.join(_INGEST_DIR, "warc_expected.parquet")
+    wet_expected_path = os.path.join(_INGEST_DIR, "wet_expected.parquet")
     if all(
         os.path.exists(p)
-        for p in (jsonl_path, expected_path, os.path.join(warc_dir, "a.warc"))
+        for p in (
+            jsonl_path,
+            expected_path,
+            wet_expected_path,
+            os.path.join(warc_dir, "a.warc"),
+            os.path.join(wet_dir, "a.wet"),
+        )
     ):
         return jsonl_path, warc_dir, expected_path
     import gzip
@@ -1109,8 +1129,10 @@ def _ingest_fixtures() -> tuple[str, str, str]:
     import pyarrow.parquet as pq
 
     from pdfsearch_spark.sources.warc import warc_bytes
+    from pdfsearch_spark.sources.wet import wet_bytes
 
     os.makedirs(warc_dir, exist_ok=True)
+    os.makedirs(wet_dir, exist_ok=True)
 
     lines = []
     for i in range(_INGEST_N_JSONL):
@@ -1191,6 +1213,56 @@ def _ingest_fixtures() -> tuple[str, str, str]:
         expected_path + ".tmp",
     )
     os.replace(expected_path + ".tmp", expected_path)
+
+    # WET: conversion records (payload = UTF-8 extracted text) interleaved
+    # with warcinfo records the reader must drop; manifest built from the
+    # source docs, so the scan must round-trip decode exactly to match.
+    wet_docs = []
+    for i in range(_INGEST_N_WET):
+        did, text, lang, source = _ingest_doc(2000 + i)
+        if i % 21 == 9:
+            text = ""  # empty extraction — still a row, n_chars 0
+        wet_docs.append(
+            {
+                "record_id": f"<urn:wet:{i}>",
+                "url": f"https://example.test/wet/{source}/{did}",
+                "text": text,
+            }
+        )
+    info = {
+        "record_id": "<urn:wetinfo>",
+        "warc_type": "warcinfo",
+        "target_uri": None,
+        "payload": b"extraction metadata",
+    }
+    wsplit = 30
+    with open(os.path.join(wet_dir, "a.wet.tmp"), "wb") as f:
+        f.write(warc_bytes([info]) + wet_bytes(wet_docs[:wsplit]))
+    os.replace(os.path.join(wet_dir, "a.wet.tmp"), os.path.join(wet_dir, "a.wet"))
+    with open(os.path.join(wet_dir, "b.wet.gz.tmp"), "wb") as f:
+        f.write(gzip.compress(wet_bytes(wet_docs[wsplit:]), mtime=0))
+    os.replace(
+        os.path.join(wet_dir, "b.wet.gz.tmp"), os.path.join(wet_dir, "b.wet.gz")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([d["url"] for d in wet_docs], pa.string()),
+                "text_md5": pa.array(
+                    [
+                        hashlib.md5(d["text"].encode("utf-8")).hexdigest()
+                        for d in wet_docs
+                    ],
+                    pa.string(),
+                ),
+                "n_chars": pa.array(
+                    [len(d["text"]) for d in wet_docs], pa.int64()
+                ),
+            }
+        ),
+        wet_expected_path + ".tmp",
+    )
+    os.replace(wet_expected_path + ".tmp", wet_expected_path)
     return jsonl_path, warc_dir, expected_path
 
 
@@ -1713,6 +1785,10 @@ FROM {_ingest_jsonl_read_sql()}
 SELECT warc_file, record_id, warc_type, target_uri, content_length,
        payload_md5
 FROM read_parquet('{os.path.join(_INGEST_DIR, "warc_expected.parquet")}')
+""",
+        "q_wet_scan": f"""
+SELECT url, text_md5, n_chars
+FROM read_parquet('{os.path.join(_INGEST_DIR, "wet_expected.parquet")}')
 """,
         "q_fts_bm25": _fts_bm25_sql(),
         "q_fts_phrase": _fts_phrase_sql(),

@@ -1,5 +1,6 @@
-"""JSONL and WARC source connectors: schema enforcement, corrupt-line
-tolerance, WARC round-trip (plain + gzip multi-member + garbage resync)."""
+"""JSONL, WARC, and WET source connectors: schema enforcement, corrupt-line
+tolerance, WARC round-trip (plain + gzip multi-member + garbage resync),
+WET conversion-record extraction with multi-byte UTF-8 fidelity."""
 
 from __future__ import annotations
 
@@ -14,6 +15,7 @@ from pdfsearch_spark.sources.jsonl import (
     read_docs_jsonl,
 )
 from pdfsearch_spark.sources.warc import parse_warc, read_warc, warc_bytes
+from pdfsearch_spark.sources.wet import read_wet, wet_bytes
 
 
 # ------------------------------------------------------------------ jsonl
@@ -111,3 +113,37 @@ def test_read_warc_spark_scan(spark, tmp_path):
     assert rows["<urn:doc:4>"]["content_length"] == len(RECS[3]["payload"])
     # responses only, filtered relationally after the parse
     assert df.filter("warc_type = 'response'").count() == 3
+
+
+# ------------------------------------------------------------------ wet
+
+
+WET_DOCS = [
+    {"url": "https://a/1", "text": "plain extracted text"},
+    {"url": "https://a/2", "text": "café naïve 查询 — multi-byte\nsecond line"},
+    {"url": "https://a/3", "text": ""},
+]
+
+
+def test_read_wet_extracts_conversion_records(spark, tmp_path):
+    # a WET file plus interleaved non-conversion records that must drop out
+    mixed = warc_bytes(
+        [
+            {"record_id": "<urn:info>", "warc_type": "warcinfo",
+             "target_uri": None, "payload": b"crawl metadata"},
+        ]
+    ) + wet_bytes(WET_DOCS[:2])
+    (tmp_path / "a.wet").write_bytes(mixed)
+    (tmp_path / "b.wet.gz").write_bytes(gzip.compress(wet_bytes(WET_DOCS[2:])))
+    df = read_wet(spark, str(tmp_path))
+    rows = {r["url"]: r for r in df.collect()}
+    assert sorted(rows) == [d["url"] for d in WET_DOCS]
+    # multi-byte UTF-8 decodes to the exact original string; n_chars counts
+    # characters (15 + space + dash... post-decode), not payload bytes
+    assert rows["https://a/2"]["text"] == WET_DOCS[1]["text"]
+    assert rows["https://a/2"]["n_chars"] == len(WET_DOCS[1]["text"])
+    assert rows["https://a/3"]["text"] == "" and rows["https://a/3"]["n_chars"] == 0
+    # the decode/filter/length are Catalyst expressions — no second Python
+    # stage in the plan beyond the one WARC mapInPandas hop
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
