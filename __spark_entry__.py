@@ -886,6 +886,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("payload").alias("payload_md5"),
         )
 
+    def q_line_dedup(spark, sf):
+        from pdfsearch_spark.pipeline.curate import line_dedup
+
+        docs = spark.read.parquet(_linededup_fixture())
+        return line_dedup(docs).select(
+            "doc_id",
+            F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+            "n_lines",
+            "n_dropped",
+        )
+
     def q_wet_scan(spark, sf):
         from pdfsearch_spark.sources.wet import read_wet
 
@@ -958,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jsonl_health": q_jsonl_health,
         "q_warc_scan": q_warc_scan,
         "q_wet_scan": q_wet_scan,
+        "q_line_dedup": q_line_dedup,
         "q_fts_bm25": q_fts_bm25,
         "q_fts_phrase": q_fts_phrase,
         "q_fts_prefix": q_fts_prefix,
@@ -1264,6 +1276,107 @@ def _ingest_fixtures() -> tuple[str, str, str]:
     )
     os.replace(wet_expected_path + ".tmp", wet_expected_path)
     return jsonl_path, warc_dir, expected_path
+
+
+_LINEDEDUP_DIR = "/tmp/spark_entry_linededup_v1"  # version-keyed
+_LINEDEDUP_N = 240
+
+
+def _linededup_fixture() -> str:
+    """Deterministic multi-line docs parquet for the line-dedup entry (the
+    sf documents table is single-line by construction). Mixes: per-doc
+    content lines (natural cross-doc collisions are fine — the oracle
+    recomputes the same counts), four injected boilerplate lines with very
+    different fanouts (down to every-other-doc, the Zipf head case), lines
+    shared by EXACTLY two docs (at the <= max_dup_docs boundary — kept),
+    an ineligible short line everywhere, and trailing-newline docs."""
+    path = os.path.join(_LINEDEDUP_DIR, "docs.parquet")
+    if os.path.exists(path):
+        return path
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_LINEDEDUP_DIR, exist_ok=True)
+    boiler = [
+        f"boilerplate banner {j} all rights reserved — près straße"
+        for j in range(4)
+    ]
+    ids, texts = [], []
+    for i in range(_LINEDEDUP_N):
+        h = hashlib.md5(f"ld-{i}".encode()).digest()
+        lines = []
+        for j in range(3 + h[0] % 5):
+            words = [
+                _INGEST_VOCAB[(h[(j + k) % 16] + i * 5 + j) % len(_INGEST_VOCAB)]
+                for k in range(4 + h[1] % 4)
+            ]
+            lines.append(" ".join(words))
+        if i % 2 == 0:
+            lines.insert(h[2] % len(lines), boiler[3])
+        if i % 3 == 0:
+            lines.insert(h[3] % len(lines), boiler[0])
+        if i % 7 == 1:
+            lines.append(boiler[1])
+        if i % 11 == 2:
+            lines.insert(0, boiler[2])
+        if i % 10 in (4, 5):  # shared by exactly two docs -> kept
+            lines.append(f"pair line number {i // 10} shared twice over")
+        lines.insert(h[4] % len(lines), "hi")  # ineligible short line
+        text = "\n".join(lines)
+        if i % 13 == 6:
+            text += "\n"
+        ids.append(3000 + i)
+        texts.append(text)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def _line_dedup_sql() -> str:
+    from pdfsearch_spark.pipeline.curate import (
+        DEFAULT_MAX_DUP_DOCS,
+        DEFAULT_MIN_LINE_CHARS,
+    )
+
+    path = _linededup_fixture()  # materialize regardless of run order
+    return f"""
+WITH parts AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM read_parquet('{path}')
+),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM parts
+),
+elig AS (
+  SELECT doc_id, pos, line, trim(line) AS t,
+         length(trim(line)) >= {DEFAULT_MIN_LINE_CHARS} AS eligible
+  FROM lines
+),
+boiler AS (
+  SELECT t FROM (SELECT DISTINCT doc_id, t FROM elig WHERE eligible)
+  GROUP BY t HAVING count(*) > {DEFAULT_MAX_DUP_DOCS}
+)
+SELECT e.doc_id,
+       md5(coalesce(string_agg(
+         CASE WHEN NOT (e.eligible AND b.t IS NOT NULL) THEN e.line END,
+         chr(10) ORDER BY e.pos), '')) AS clean_md5,
+       count(*)::BIGINT AS n_lines,
+       count(CASE WHEN e.eligible AND b.t IS NOT NULL THEN 1 END)::BIGINT
+         AS n_dropped
+FROM elig e LEFT JOIN boiler b USING (t)
+GROUP BY e.doc_id
+"""
 
 
 def _ingest_jsonl_read_sql() -> str:
@@ -1790,6 +1903,7 @@ FROM read_parquet('{os.path.join(_INGEST_DIR, "warc_expected.parquet")}')
 SELECT url, text_md5, n_chars
 FROM read_parquet('{os.path.join(_INGEST_DIR, "wet_expected.parquet")}')
 """,
+        "q_line_dedup": _line_dedup_sql(),
         "q_fts_bm25": _fts_bm25_sql(),
         "q_fts_phrase": _fts_phrase_sql(),
         "q_fts_prefix": _fts_prefix_sql(),

@@ -281,6 +281,82 @@ def rebalance_mix(
     )
 
 
+DEFAULT_MIN_LINE_CHARS = 10
+DEFAULT_MAX_DUP_DOCS = 2
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_line_chars: int = DEFAULT_MIN_LINE_CHARS,
+    max_dup_docs: int = DEFAULT_MAX_DUP_DOCS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal — the line-dedup pass of a
+    webtext curation pipeline (cf. C4's duplicated-span filter and
+    RefinedWeb/CCNet paragraph dedup): a line whose trimmed text occurs in
+    more than `max_dup_docs` DISTINCT documents ("All rights reserved",
+    cookie banners, nav bars) is removed from every document.
+
+    Lines shorter than `min_line_chars` after trimming are ineligible —
+    never counted and never removed (dropping every empty line or "Home"
+    would shred legitimate text). Matching is on the trimmed line; the
+    original untrimmed line is what's kept or dropped.
+
+    Returns one row per input doc:
+    (doc_id, clean_text, n_lines, n_dropped) — clean_text preserves the
+    original line order and the doc survives (possibly empty) even when
+    every line drops.
+
+    Scale shape: explode → two partial-agged shuffles to build the
+    boilerplate set (DISTINCT on the (doc_id, line_hash) PAIR — hash
+    partitioning on the pair, so a Zipf-head line never lands on one
+    reducer — then groupBy(hash) over already-unique pairs), a shuffle
+    equi-join of the lines on line_hash (head-line skew here is exactly
+    the AQE skew-join case; the boiler side is the small side), and one
+    groupBy(doc_id) to reassemble. No driver-side collect; the boilerplate
+    set never materializes outside the plan.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(text, "\n")).alias("pos", "line")
+    )
+    elig = lines.select(
+        "doc_id",
+        "pos",
+        "line",
+        F.xxhash64(F.trim("line")).alias("h"),
+        (F.length(F.trim("line")) >= min_line_chars).alias("eligible"),
+    )
+    boiler = (
+        elig.filter("eligible")
+        .select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_dup_docs)
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    marked = elig.join(boiler, "h", "left").select(
+        "doc_id",
+        "pos",
+        "line",
+        (F.col("eligible") & F.coalesce("is_boiler", F.lit(False))).alias(
+            "dropped"
+        ),
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "dropped", "line"))),
+        lambda s: ~s["dropped"],
+    )
+    return marked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(kept, lambda s: s["line"]), "\n"
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+    )
+
+
 DEFAULT_SPLIT_WEIGHTS = (("train", 0.90), ("val", 0.05), ("test", 0.05))
 
 

@@ -821,3 +821,40 @@ def test_length_profile_exact_and_approx(spark):
                 abs(approx[lang][f"p{p}_chars"] - out[lang][f"p{p}_chars"])
                 <= 0.1 * spread
             )
+
+
+def test_line_dedup_boilerplate_removed_everywhere(spark):
+    from pdfsearch_spark.pipeline.curate import line_dedup
+
+    boiler = "all rights reserved worldwide"   # in 3 docs -> removed
+    twice = "shared by exactly two documents"  # in 2 docs -> kept (<= max)
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha line one\n{boiler}\nhi\nunique beta"),
+            (2, f"{boiler}\n{twice}\nunique gamma content"),
+            # boiler twice in ONE doc: counts as one distinct doc; trailing
+            # newline -> trailing empty line survives reassembly
+            (3, f"{boiler}\n{twice}\n{boiler}\n"),
+            (4, None),
+            (5, "hi\nhi\nhi\nhi"),  # short repeated line: ineligible, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "unique alpha line one\nhi\nunique beta"
+    assert out[1]["n_lines"] == 4 and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == f"{twice}\nunique gamma content"
+    assert out[3]["clean_text"] == f"{twice}\n"
+    assert out[3]["n_lines"] == 4 and out[3]["n_dropped"] == 2
+    assert out[4]["clean_text"] == "" and out[4]["n_lines"] == 1
+    assert out[5]["clean_text"] == "hi\nhi\nhi\nhi"
+    assert out[5]["n_dropped"] == 0
+    # whitespace variants match on the TRIMMED line but keep the original
+    docs2 = spark.createDataFrame(
+        [(1, f"  {boiler}\nx"), (2, f"{boiler}  \ny"), (3, f"{boiler}\nz")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in line_dedup(docs2).collect()}
+    assert out2[1]["clean_text"] == "x"
+    assert out2[2]["clean_text"] == "y"
+    assert out2[3]["clean_text"] == "z"
