@@ -897,6 +897,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_dropped",
         )
 
+    def q_url_normalize(spark, sf):
+        from pdfsearch_spark.pipeline.urlops import url_normalize
+
+        df = spark.read.parquet(_urlops_fixture())
+        return url_normalize(df).select(
+            "doc_id", "url_norm", "host", "apex_domain"
+        )
+
+    def q_domain_stats(spark, sf):
+        from pdfsearch_spark.pipeline.urlops import domain_stats
+
+        df = spark.read.parquet(_urlops_fixture())
+        return domain_stats(df)
+
     def q_wet_scan(spark, sf):
         from pdfsearch_spark.sources.wet import read_wet
 
@@ -970,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_scan": q_warc_scan,
         "q_wet_scan": q_wet_scan,
         "q_line_dedup": q_line_dedup,
+        "q_url_normalize": q_url_normalize,
+        "q_domain_stats": q_domain_stats,
         "q_fts_bm25": q_fts_bm25,
         "q_fts_phrase": q_fts_phrase,
         "q_fts_prefix": q_fts_prefix,
@@ -1376,6 +1392,111 @@ SELECT e.doc_id,
          AS n_dropped
 FROM elig e LEFT JOIN boiler b USING (t)
 GROUP BY e.doc_id
+"""
+
+
+_URLOPS_DIR = "/tmp/spark_entry_urlops_v1"  # version-keyed
+_URLOPS_N = 240
+
+
+def _urlops_fixture() -> str:
+    """Deterministic (doc_id, url, n_chars) parquet exercising every
+    normalization rule: mixed-case schemes/hosts, default + explicit ports
+    (with and without a trailing path — the unmatched-optional-group
+    replacement case), multi-label public suffixes, tracking params in
+    every position, fragments, and scheme-less strings."""
+    path = os.path.join(_URLOPS_DIR, "urls.parquet")
+    if os.path.exists(path):
+        return path
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_URLOPS_DIR, exist_ok=True)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    subs = ["", "www.", "WWW.", "Sub.", "a.b."]
+    domains = [
+        "Example.COM", "news.co.uk", "shop.com.au", "example.org",
+        "mirror-site.net", "Data.AC.UK", "localhost",
+    ]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["/", "/Path/Is/Kept", "/x", "", "/deep/a/b"]
+    queries = [
+        "", "?a=1", "?utm_source=tw", "?a=1&utm_campaign=x&b=2",
+        "?fbclid=abc&q=9", "?utm_a=1&utm_b=2", "?q=UPPER",
+    ]
+    frags = ["", "#Frag", "#x"]
+    ids, urls, chars = [], [], []
+    for i in range(_URLOPS_N):
+        h = hashlib.md5(f"url-{i}".encode()).digest()
+        url = (
+            schemes[h[0] % 4] + "://" + subs[h[1] % 5] + domains[h[2] % 7]
+            + ports[h[3] % 4] + paths[h[4] % 5] + queries[h[5] % 7]
+            + frags[h[6] % 3]
+        )
+        if i % 19 == 4:
+            url = "no-scheme.example.com/path?utm_x=1"  # scheme-less
+        ids.append(4000 + i)
+        urls.append(url)
+        chars.append(50 + h[7] * 13)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def _urlops_norm_sql() -> str:
+    """DuckDB re-derivation of url_normalize (RE2 'g' flag where Spark
+    replaces all; \\1 replacement syntax where Spark uses $1)."""
+    from pdfsearch_spark.pipeline.urlops import _SUFFIX_ALT
+
+    path = _urlops_fixture()
+    auth = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+    return f"""
+WITH raw AS (
+  SELECT doc_id, coalesce(url, '') AS url, n_chars
+  FROM read_parquet('{path}')
+),
+s1 AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS u FROM raw),
+s2 AS (SELECT doc_id, n_chars,
+         lower(regexp_extract(u, '{auth}', 1)) ||
+         substring(u, length(regexp_extract(u, '{auth}', 1)) + 1) AS u
+       FROM s1),
+s3 AS (SELECT doc_id, n_chars,
+         regexp_replace(regexp_replace(u,
+           '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2'),
+           '^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2') AS u
+       FROM s2),
+s4 AS (SELECT doc_id, n_chars,
+         regexp_replace(u,
+           '(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&#]*&?', '', 'g')
+           AS u
+       FROM s3),
+s5 AS (SELECT doc_id, n_chars,
+         regexp_replace(regexp_replace(u, '\\?&', '?', 'g'), '[?&]$', '')
+           AS url_norm
+       FROM s4),
+h AS (SELECT doc_id, n_chars, url_norm,
+        regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1)
+          AS host
+      FROM s5),
+a AS (SELECT doc_id, n_chars, url_norm, host,
+        CASE WHEN regexp_matches(host, '(^|\\.)({_SUFFIX_ALT})$')
+             THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+             ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS picked
+      FROM h)
+SELECT doc_id, n_chars, url_norm, host,
+       CASE WHEN picked = '' THEN host ELSE picked END AS apex_domain
+FROM a
 """
 
 
@@ -1904,6 +2025,16 @@ SELECT url, text_md5, n_chars
 FROM read_parquet('{os.path.join(_INGEST_DIR, "wet_expected.parquet")}')
 """,
         "q_line_dedup": _line_dedup_sql(),
+        "q_url_normalize": f"""
+SELECT doc_id, url_norm, host, apex_domain FROM ({_urlops_norm_sql()})
+""",
+        "q_domain_stats": f"""
+SELECT apex_domain, count(*) AS n_docs,
+       count(DISTINCT host) AS n_hosts,
+       sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT url_norm) AS n_canonical_urls
+FROM ({_urlops_norm_sql()}) GROUP BY apex_domain
+""",
         "q_fts_bm25": _fts_bm25_sql(),
         "q_fts_phrase": _fts_phrase_sql(),
         "q_fts_prefix": _fts_prefix_sql(),

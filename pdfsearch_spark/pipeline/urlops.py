@@ -1,0 +1,105 @@
+"""URL operations: canonicalization, host / apex-domain extraction, and
+per-domain aggregates — the URL hygiene layer of a web-corpus pipeline
+(crawl dedup keys on the canonical URL; domain caps and per-site stats key
+on the apex domain).
+
+All transforms are chained codegen regexes (no UDF, no shuffle until the
+stats groupBy), using only the regex subset Java regex (Spark) and RE2
+(the DuckDB oracle) interpret identically: char classes, alternation,
+bounded repetition, capture groups — no lookaround, no backrefs in
+PATTERNS (replacement backrefs are fine; each engine has its own escape
+syntax, $1 vs \\1).
+
+Canonicalization rules (the common subset of RFC 3986 normalization +
+crawl-pipeline convention):
+- strip the fragment (`#...` never reaches the server);
+- lowercase the scheme and authority (case-insensitive per RFC 3986);
+  path/query case is PRESERVED (significant on most servers);
+- strip default ports (`:80` for http, `:443` for https);
+- strip tracking query params (utm_*, fbclid, gclid, msclkid) and tidy
+  the leftover separators, preserving all other params in order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# scheme://host[:port] — the case-insensitive prefix of a URL
+_AUTH_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+_TRACK_RE = "(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&#]*&?"
+
+# Multi-label public suffixes the apex heuristic recognizes. A real crawl
+# ships the full public-suffix list as a table; this embedded subset keeps
+# the op dependency-free and the rule identical in the SQL oracle.
+MULTIPART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "co.in", "co.nz", "co.kr",
+    "com.br", "com.cn", "com.mx", "com.tr",
+)
+
+_SUFFIX_ALT = "|".join(s.replace(".", "\\.") for s in MULTIPART_SUFFIXES)
+
+
+def url_normalize_expr(url: Column) -> Column:
+    """The canonical form of `url` as a codegen expression."""
+    u = F.regexp_replace(url, "#.*$", "")  # fragment
+    pre = F.regexp_extract(u, _AUTH_RE, 1)
+    u = F.concat(
+        F.lower(pre), F.substring(u, F.length(pre) + F.lit(1), F.lit(2**30))
+    )
+    u = F.regexp_replace(u, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, _TRACK_RE, "")
+    u = F.regexp_replace(u, "\\?&", "?")
+    return F.regexp_replace(u, "[?&]$", "")
+
+
+def host_expr(url_norm: Column) -> Column:
+    """Hostname of an already-normalized URL ('' when there is none)."""
+    return F.regexp_extract(url_norm, "^[a-z][a-z0-9+.-]*://([^/?#:]*)", 1)
+
+
+def apex_domain_expr(host: Column) -> Column:
+    """Registrable ('apex') domain: last two labels, or last three when the
+    host ends in a recognized multi-label public suffix; the bare host when
+    it has no dot (localhost, IPs are out of scope for the heuristic)."""
+    three = F.regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    two = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    is_multi = host.rlike(f"(^|\\.)({_SUFFIX_ALT})$")
+    picked = F.when(is_multi, three).otherwise(two)
+    return F.when(picked == "", host).otherwise(picked)
+
+
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(original columns..., url_norm, host, apex_domain) — one codegen
+    projection, no shuffle; runs at scan speed and column-prunes."""
+    norm = url_normalize_expr(F.coalesce(F.col(url_col), F.lit("")))
+    out = df.withColumn("url_norm", norm).withColumn(
+        "host", host_expr(F.col("url_norm"))
+    )
+    return out.withColumn("apex_domain", apex_domain_expr(F.col("host")))
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Per-apex-domain corpus profile:
+    (apex_domain, n_docs, n_hosts, total_chars, n_canonical_urls).
+
+    n_canonical_urls counts distinct canonical URLs — the crawl-dedup
+    cardinality; n_docs / n_canonical_urls > 1 means the crawler fetched
+    the same canonical page repeatedly (tracking-param explosion).
+
+    Scale shape: one partial-agged shuffle on apex_domain; the two distinct
+    counts ride the same exchange (Spark plans multi-distinct aggregates
+    with an expand, still a single shuffle stage family, no extra pass
+    over the input).
+    """
+    enriched = url_normalize(df, url_col)
+    return enriched.groupBy("apex_domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum(F.col(chars_col).cast("long")).alias("total_chars"),
+        F.countDistinct("url_norm").alias("n_canonical_urls"),
+    )

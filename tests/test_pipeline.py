@@ -858,3 +858,57 @@ def test_line_dedup_boilerplate_removed_everywhere(spark):
     assert out2[1]["clean_text"] == "x"
     assert out2[2]["clean_text"] == "y"
     assert out2[3]["clean_text"] == "z"
+
+
+def test_url_normalize_cases(spark):
+    from pdfsearch_spark.pipeline.urlops import url_normalize
+
+    cases = [
+        # (raw, url_norm, host, apex)
+        ("HTTP://WWW.Example.COM:80/Path/Is/Kept?A=1#Frag",
+         "http://www.example.com/Path/Is/Kept?A=1",
+         "www.example.com", "example.com"),
+        ("https://Sub.News.CO.UK:443/x",
+         "https://sub.news.co.uk/x", "sub.news.co.uk", "news.co.uk"),
+        ("https://a.b.shop.com.au/y?utm_source=tw&q=2&utm_campaign=x",
+         "https://a.b.shop.com.au/y?q=2",
+         "a.b.shop.com.au", "shop.com.au"),
+        ("http://example.org:8080/keep-port?utm_x=1",
+         "http://example.org:8080/keep-port",
+         "example.org", "example.org"),
+        ("https://example.com/?fbclid=abc", "https://example.com/",
+         "example.com", "example.com"),
+        ("https://example.com/p?a=1&gclid=z&b=2",
+         "https://example.com/p?a=1&b=2", "example.com", "example.com"),
+        ("https://localhost/x", "https://localhost/x",
+         "localhost", "localhost"),
+        ("no-scheme.example.com/path", "no-scheme.example.com/path",
+         "", ""),
+        (None, "", "", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {r["doc_id"]: r for r in url_normalize(df).collect()}
+    for i, (_, norm, host, apex) in enumerate(cases):
+        r = got[i]
+        assert r["url_norm"] == norm, (i, r["url_norm"], norm)
+        assert r["host"] == host, (i, r["host"], host)
+        assert r["apex_domain"] == apex, (i, r["apex_domain"], apex)
+
+
+def test_domain_stats_counts(spark):
+    from pdfsearch_spark.pipeline.urlops import domain_stats
+
+    rows = [
+        (1, "https://a.example.com/x?utm_source=1", 10),
+        (2, "https://a.example.com/x", 20),          # same canonical as 1
+        (3, "https://b.example.com/y", 30),
+        (4, "https://news.co.uk/z", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    out = {r["apex_domain"]: r for r in domain_stats(df).collect()}
+    ex = out["example.com"]
+    assert ex["n_docs"] == 3 and ex["n_hosts"] == 2
+    assert ex["n_canonical_urls"] == 2 and ex["total_chars"] == 60
+    assert out["news.co.uk"]["n_docs"] == 1
