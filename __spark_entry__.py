@@ -688,6 +688,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"
         )
 
+    def q_ann_ivfpq(spark, sf):
+        emb = _emb_aug(spark, sf)
+        qv = emb.filter(F.col("vec_id") < 5)
+        out = similarity.ann_topk_ivfpq(emb, qv, k=10)
+        return out.select(
+            "query_id", "vec_id", F.round("score", 4).alias("score"), "rank"
+        )
+
     def q_embedding_neardup(spark, sf):
         out = similarity.embedding_neardup_pairs(_emb_aug(spark, sf), threshold=0.98)
         return out.select("vec_a", "vec_b", F.round("score", 4).alias("score"))
@@ -958,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_ann_lsh": q_ann_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivfpq": q_ann_ivfpq,
         "q_embedding_neardup": q_embedding_neardup,
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
@@ -1537,6 +1546,43 @@ def oracle_sql() -> dict[str, str]:
     # similarity._cell_dist_exprs — round(||c||^2 - 2 v.c, 6) per centroid
     centroids = ivf_centroids()
 
+    # PQ: same codebooks / encode argmin / rounded LUT as similarity.pq_*
+    from pdfsearch_spark.pipeline.similarity import K_SUB, M_SUB, pq_codebooks
+
+    books = pq_codebooks()
+    _dsub = DIM // M_SUB
+
+    def _lit_list(v: list[float]) -> str:
+        return "[" + ",".join(str(x) for x in v) + "]::DOUBLE[]"
+
+    def pq_code_sql(vec_col: str) -> str:
+        parts = []
+        for mi, book in enumerate(books):
+            sub = f"list_slice({vec_col}, {mi * _dsub + 1}, {(mi + 1) * _dsub})"
+            dists = "[" + ",".join(
+                f"round({round(sum(v * v for v in cb), 6)}::DOUBLE"
+                f" - 2.0 * list_dot_product({sub}, {_lit_list(cb)}), 6)"
+                for cb in book
+            ) + "]::DOUBLE[]"
+            parts.append(f"(list_position({dists}, list_min({dists})) - 1)")
+        return "[" + ",".join(parts) + "]::INT[]"
+
+    def pq_lut_sql(vec_col: str) -> str:
+        dots = []
+        for mi, book in enumerate(books):
+            sub = f"list_slice({vec_col}, {mi * _dsub + 1}, {(mi + 1) * _dsub})"
+            dots.extend(
+                f"round(list_dot_product({sub}, {_lit_list(cb)}), 6)"
+                for cb in book
+            )
+        return "[" + ",".join(dots) + "]::DOUBLE[]"
+
+    # left-to-right sum over subspaces — same order as Spark's aggregate,
+    # same 6-dp-rounded inputs, so the rounded sum is bit-identical
+    pq_adc_sql = "round(" + " + ".join(
+        f"lut[{mi * K_SUB} + code[{mi + 1}] + 1]" for mi in range(M_SUB)
+    ) + ", 6)"
+
     def ivf_dists_sql(vec_col: str) -> str:
         parts = []
         for c in centroids:
@@ -1750,6 +1796,44 @@ scored AS (
   SELECT q.query_id, e.vec_id,
          round(list_cosine_similarity(e.embedding, q.q_emb), 6) AS score6
   FROM b e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score6,
+         row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(score6, 4) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= 10
+""",
+        "q_ann_ivfpq": f"""
+WITH aug AS ({EMB_AUG_SQL}),
+cells AS (
+  SELECT vec_id,
+         (list_position({ivf_dists_sql("embedding")},
+                        list_min({ivf_dists_sql("embedding")})) - 1) AS cell,
+         {pq_code_sql("embedding")} AS code
+  FROM aug
+),
+q AS (
+  SELECT vec_id AS query_id,
+         {ivf_dists_sql("embedding")} AS dl,
+         {pq_lut_sql("embedding")} AS lut
+  FROM aug WHERE vec_id < 5
+),
+qd AS (
+  SELECT query_id, lut, t.i::INT AS cell, dl[t.i + 1] AS d
+  FROM q, range({N_LIST}) t(i)
+),
+probe AS (
+  SELECT query_id, lut, cell FROM (
+    SELECT query_id, lut, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cell ASC) AS rn
+    FROM qd
+  ) WHERE rn <= {NPROBE}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id, {pq_adc_sql} AS score6
+  FROM cells e JOIN probe p USING (cell) WHERE e.vec_id <> p.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id, score6,

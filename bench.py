@@ -51,6 +51,7 @@ PIPELINE_QUERIES = [
     "q_cosine_topk",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_ann_ivfpq",
     "q_windowed_agg",
     "q_source_cap",
     "q_pii_scrub",

@@ -251,6 +251,128 @@ def ann_topk_ivf(
     )
 
 
+M_SUB = 8
+K_SUB = 16
+PQ_SEED = 4321
+
+
+def pq_codebooks(
+    dim: int = DIM, m: int = M_SUB, ksub: int = K_SUB, seed: int = PQ_SEED
+) -> list[list[list[float]]]:
+    """Deterministic seeded PQ codebooks: codebooks[sub][code] is a
+    (dim/m)-dim sub-centroid, rounded to 3 dp so it embeds as a SQL literal
+    identically in any engine. Components are scaled 1/sqrt(dim) to match
+    unit-norm embeddings' subvector scale (raw gaussians would put every
+    subvector nearest the smallest-norm code — same failure mode
+    ivf_centroids documents). Production builds train these with
+    per-subspace Lloyd iterations (the train_centroids_kmeans pattern,
+    applied to each slice); encode/score below are identical either way."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 2]))
+    dsub = dim // m
+    scale = 1.0 / np.sqrt(dim)
+    return [
+        [
+            [round(float(x) * scale, 3) for x in rng.standard_normal(dsub)]
+            for _ in range(ksub)
+        ]
+        for _ in range(m)
+    ]
+
+
+def pq_code_expr(vec_col: str, codebooks: list[list[list[float]]]) -> str:
+    """array<int> of per-subspace nearest-code ids (0-based) — the same
+    first-min-wins argmin as cell_expr, applied to each slice."""
+    dsub = len(codebooks[0][0])
+    parts = [
+        cell_expr(f"slice({vec_col}, {mi * dsub + 1}, {dsub})", book)
+        for mi, book in enumerate(codebooks)
+    ]
+    return "array(" + ",".join(parts) + ")"
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: list[list[list[float]]] | None = None
+) -> DataFrame:
+    """Adds `code` (array<int>, one entry per subspace). This is the
+    compression that makes 10^12-vector search feasible: at scale the
+    corpus side persists (vec_id, cell, code) — m small ints (m log2(ksub)
+    bits; 4 bytes here) instead of dim floats (256 bytes) — and the raw
+    embedding column never enters the query path. Shuffle-free codegen."""
+    codebooks = codebooks or pq_codebooks()
+    return emb.withColumn("code", F.expr(pq_code_expr("embedding", codebooks)))
+
+
+def pq_lut_expr(qvec_col: str, codebooks: list[list[list[float]]]) -> str:
+    """Flat m*ksub lookup table for one query vector: lut[mi*ksub + j] =
+    dot(query subvector mi, codebooks[mi][j]), each rounded to 6 dp so the
+    downstream sum is bit-identical across engines."""
+    dsub = len(codebooks[0][0])
+    dots = []
+    for mi, book in enumerate(codebooks):
+        sub = f"slice({qvec_col}, {mi * dsub + 1}, {dsub})"
+        dots.extend(f"round({_dot_expr(sub, c)}, 6)" for c in book)
+    return "array(" + ",".join(dots) + ")"
+
+
+def _adc_expr(code_col: str, lut_col: str, ksub: int) -> str:
+    """Asymmetric distance computation: approx dot(query, vec) =
+    sum_mi lut[mi*ksub + code[mi]] — ksub table lookups and m adds per
+    candidate, never a dim-wide multiply."""
+    return (
+        f"round(aggregate(transform({code_col}, (c, mi) -> "
+        f"element_at({lut_col}, cast(mi * {ksub} + c + 1 as int))), 0D, "
+        f"(acc, x) -> acc + x), 6)"
+    )
+
+
+def ann_topk_ivfpq(
+    emb: DataFrame, query_vecs: DataFrame, k: int = 10,
+    nprobe: int = NPROBE,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ layout as DataFrame ops): the corpus is
+    pruned to the query's nprobe nearest IVF cells AND each candidate is
+    scored from its PQ code via the query's lookup table — so the scan
+    touches (nprobe/nlist of the corpus) x (m ints per vector), not raw
+    embeddings. Scores are the ADC approximation of the dot product;
+    approximate by construction (rank-identical to exact only in the
+    no-quantization-error limit). Output shape matches the other ANN ops:
+    (query_id, vec_id, score, rank)."""
+    centroids = centroids or ivf_centroids()
+    codebooks = codebooks or pq_codebooks()
+    ksub = len(codebooks[0])
+    c_emb = pq_encode(ivf_assign(emb, centroids), codebooks).select(
+        "vec_id", "cell", "code"
+    )
+    q = (
+        query_vecs.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        .withColumn("lut", F.expr(pq_lut_expr("q_emb", codebooks)))
+        .withColumn(
+            "cell",
+            F.explode(F.expr(probe_cells_expr("q_emb", centroids, nprobe))),
+        )
+        .select("query_id", "cell", "lut")
+    )
+    joined = c_emb.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.expr(_adc_expr("code", "lut", ksub)).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def train_centroids_kmeans(
     emb: DataFrame, nlist: int = N_LIST, n_iter: int = 5,
     seed: int = CENTROID_SEED,

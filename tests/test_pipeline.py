@@ -912,3 +912,69 @@ def test_domain_stats_counts(spark):
     assert ex["n_docs"] == 3 and ex["n_hosts"] == 2
     assert ex["n_canonical_urls"] == 2 and ex["total_chars"] == 60
     assert out["news.co.uk"]["n_docs"] == 1
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    import numpy as np
+
+    from pdfsearch_spark.pipeline import similarity as sim
+
+    books = sim.pq_codebooks()
+    rows = sim.pq_encode(_emb_df(spark)).select("vec_id", "embedding", "code").collect()
+    assert rows
+    dsub = sim.DIM // sim.M_SUB
+    for r in rows[:50]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for mi in range(sim.M_SUB):
+            sub = v[mi * dsub : (mi + 1) * dsub]
+            dists = [
+                round(round(sum(c * c for c in cb), 6) - 2.0 * float(np.dot(sub, cb)), 6)
+                for cb in np.asarray(books[mi], dtype=np.float64)
+            ]
+            assert r["code"][mi] == dists.index(min(dists))
+        assert all(0 <= c < sim.K_SUB for c in r["code"])
+
+
+def test_pq_adc_equals_dot_of_reconstruction(spark):
+    """ADC score must equal dot(query, decode(code)) — the defining PQ
+    identity — up to the 6-dp rounding of each LUT entry."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdfsearch_spark.pipeline import similarity as sim
+
+    books = sim.pq_codebooks()
+    emb = _emb_df(spark)
+    qv = emb.filter(F.col("vec_id") < 3)
+    out = sim.ann_topk_ivfpq(emb, qv, k=10, nprobe=sim.N_LIST).collect()
+    assert out
+    codes = {
+        r["vec_id"]: r["code"] for r in sim.pq_encode(emb).collect()
+    }
+    queries = {r["vec_id"]: np.asarray(r["embedding"]) for r in qv.collect()}
+    for r in out:
+        q = queries[r["query_id"]]
+        recon = np.concatenate(
+            [np.asarray(books[mi][c]) for mi, c in enumerate(codes[r["vec_id"]])]
+        )
+        assert abs(r["score"] - float(np.dot(q, recon))) < sim.M_SUB * 1e-6 + 1e-6
+
+
+def test_pq_adc_correlates_with_exact_dot(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdfsearch_spark.pipeline import similarity as sim
+
+    emb = _emb_df(spark)
+    qv = emb.filter(F.col("vec_id") == 0)
+    adc = {
+        r["vec_id"]: r["score"]
+        for r in sim.ann_topk_ivfpq(emb, qv, k=400, nprobe=sim.N_LIST).collect()
+    }
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    q = vecs[0]
+    pairs = [(adc[v], float(np.dot(q, vecs[v]))) for v in adc]
+    a, b = zip(*pairs)
+    corr = float(np.corrcoef(a, b)[0, 1])
+    assert corr > 0.3, corr
