@@ -417,6 +417,99 @@ def train_centroids_kmeans(
     return centroids
 
 
+def _pq_sub_rows(emb: DataFrame, m: int, dsub: int) -> DataFrame:
+    """(vec_id, mi, sub): one row per (vector, subspace) — a single codegen
+    transform + posexplode, no raw-string work."""
+    arr = (
+        f"transform(sequence(0, {m - 1}), "
+        f"mi -> slice(embedding, mi * {dsub} + 1, {dsub}))"
+    )
+    return emb.select("vec_id", F.posexplode(F.expr(arr)).alias("mi", "sub"))
+
+
+def _pq_assign_expr(books: list[list[list[float]]]) -> str:
+    """Per-subspace code for a (mi, sub) row: CASE over mi dispatching to
+    that subspace's argmin — one expression, still whole-stage codegen."""
+    branches = " ".join(
+        f"WHEN mi = {mi} THEN {cell_expr('sub', book)}"
+        for mi, book in enumerate(books)
+    )
+    return f"CASE {branches} END"
+
+
+def train_pq_codebooks(
+    emb: DataFrame, m: int = M_SUB, ksub: int = K_SUB, n_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd's k-means — the production PQ
+    training path (same contract as train_centroids_kmeans: init by
+    md5(vec_id) order so it's partition-count-invariant; 3-dp rounding per
+    iteration so the fit is bit-reproducible; train on emb.sample(...) at
+    corpus scale). All m subspaces train in ONE job per iteration: the
+    (vec_id, mi, sub) explosion assigns every subspace with a single CASE
+    argmin expression and the means groupBy(mi, code, pos) returns just
+    m * ksub * dsub doubles to the driver."""
+    first = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(first[0]["embedding"])
+    dsub = dim // m
+    books = [
+        [
+            [
+                round(float(r["embedding"][mi * dsub + p]), 3)
+                for p in range(dsub)
+            ]
+            for r in first
+        ]
+        for mi in range(m)
+    ]
+    rows = _pq_sub_rows(emb, m, dsub)
+    for _ in range(n_iter):
+        assigned = rows.withColumn(
+            "code", F.expr(_pq_assign_expr(books)).cast("int")
+        )
+        means = (
+            assigned.select(
+                "mi", "code", F.posexplode("sub").alias("pos", "x")
+            )
+            .groupBy("mi", "code", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("mval"))
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in books]
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["mi"], r["code"]), {})[r["pos"]] = r["mval"]
+        for (mi, code), dims in got.items():
+            new[mi][code] = [round(dims[p], 3) for p in range(len(dims))]
+        if new == books:
+            break
+        books = new
+    return books
+
+
+def pq_inertia(emb: DataFrame, codebooks: list[list[list[float]]]) -> float:
+    """Mean argmin-equivalent distance over all (row, subspace) pairs —
+    monotone in true per-subspace quantization error for fixed data; used
+    to test that PQ training improves the codebooks."""
+    dsub = len(codebooks[0][0])
+    rows = _pq_sub_rows(emb, len(codebooks), dsub)
+    branches = " ".join(
+        "WHEN mi = {mi} THEN array_min(array({dists}))".format(
+            mi=mi, dists=",".join(_cell_dist_exprs("sub", book))
+        )
+        for mi, book in enumerate(codebooks)
+    )
+    return float(
+        rows.select(F.expr(f"CASE {branches} END").alias("d"))
+        .agg(F.avg("d"))
+        .first()[0]
+    )
+
+
 def ivf_inertia(emb: DataFrame, centroids: list[list[float]]) -> float:
     """Mean argmin-equivalent distance (||c||^2 - 2 v.c) over the corpus —
     monotone in true k-means inertia for fixed data; used to test that

@@ -978,3 +978,21 @@ def test_pq_adc_correlates_with_exact_dot(spark):
     a, b = zip(*pairs)
     corr = float(np.corrcoef(a, b)[0, 1])
     assert corr > 0.3, corr
+
+
+def test_pq_training_improves_codebooks(spark):
+    from pdfsearch_spark.pipeline import similarity as sim
+
+    emb = _emb_df(spark)
+    seeded = sim.pq_codebooks()
+    trained = sim.train_pq_codebooks(emb, n_iter=3)
+    assert len(trained) == sim.M_SUB
+    assert all(len(b) == sim.K_SUB for b in trained)
+    assert sim.pq_inertia(emb, trained) < sim.pq_inertia(emb, seeded)
+    # deterministic: retraining reproduces the same books bit-exactly
+    assert sim.train_pq_codebooks(emb, n_iter=3) == trained
+    # trained books drop into the same encode/score machinery
+    from pyspark.sql import functions as F
+    qv = emb.filter(F.col("vec_id") < 2)
+    out = sim.ann_topk_ivfpq(emb, qv, k=5, codebooks=trained).collect()
+    assert {r["query_id"] for r in out} == {0, 1}
