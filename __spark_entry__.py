@@ -894,6 +894,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("payload").alias("payload_md5"),
         )
 
+    def q_pack_sequences(spark, sf):
+        from pdfsearch_spark.pipeline import pack, textstats
+
+        toks = textstats.token_counts(_docs_par(spark, sf)).select(
+            "doc_id", F.col("n_ws_tokens").cast("long").alias("n_tokens")
+        )
+        return pack.pack_sequences(toks, seq_len=256, n_buckets=32).select(
+            "doc_id", "n_tokens", "offset", "seq_id", "seq_pos"
+        )
+
     def q_line_dedup(spark, sf):
         from pdfsearch_spark.pipeline.curate import line_dedup
 
@@ -993,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_scan": q_warc_scan,
         "q_wet_scan": q_wet_scan,
         "q_line_dedup": q_line_dedup,
+        "q_pack_sequences": q_pack_sequences,
         "q_url_normalize": q_url_normalize,
         "q_domain_stats": q_domain_stats,
         "q_fts_bm25": q_fts_bm25,
@@ -2109,6 +2120,22 @@ SELECT url, text_md5, n_chars
 FROM read_parquet('{os.path.join(_INGEST_DIR, "wet_expected.parquet")}')
 """,
         "q_line_dedup": _line_dedup_sql(),
+        "q_pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, len({WORDS_D})::BIGINT AS n_tokens FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, "offset",
+       ("offset" // 256)::BIGINT AS seq_id,
+       ("offset" % 256)::BIGINT AS seq_pos
+FROM o
+""",
         "q_url_normalize": f"""
 SELECT doc_id, url_norm, host, apex_domain FROM ({_urlops_norm_sql()})
 """,

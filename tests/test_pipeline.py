@@ -996,3 +996,49 @@ def test_pq_training_improves_codebooks(spark):
     qv = emb.filter(F.col("vec_id") < 2)
     out = sim.ann_topk_ivfpq(emb, qv, k=5, codebooks=trained).collect()
     assert {r["query_id"] for r in out} == {0, 1}
+
+
+def test_global_offsets_matches_single_window(spark):
+    """The two-phase distributed prefix sum must equal the single-reducer
+    window bit-for-bit, including on sparse/clustered ids."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdfsearch_spark.pipeline.pack import global_offsets
+
+    rnd = random.Random(7)
+    ids = rnd.sample(range(10**9), 400) + list(range(500, 700))  # clustered tail
+    rows = [(i, rnd.randrange(1, 50)) for i in set(ids)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["offset"]
+        for r in global_offsets(df, n_buckets=16).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    exp = {
+        r["doc_id"]: r["off"]
+        for r in df.withColumn(
+            "off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == exp
+    # deterministic across re-evaluation
+    again = {
+        r["doc_id"]: r["offset"]
+        for r in global_offsets(df, n_buckets=16).collect()
+    }
+    assert again == got
+
+
+def test_pack_sequences_boundaries(spark):
+    from pdfsearch_spark.pipeline.pack import pack_sequences
+
+    rows = [(1, 100), (2, 30), (3, 30), (4, 50), (5, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r["doc_id"]: r for r in pack_sequences(df, seq_len=64).collect()}
+    # offsets: 0, 100, 130, 160, 210 -> seqs 0, 1, 2, 2, 3
+    assert [out[d]["offset"] for d in (1, 2, 3, 4, 5)] == [0, 100, 130, 160, 210]
+    assert [out[d]["seq_id"] for d in (1, 2, 3, 4, 5)] == [0, 1, 2, 2, 3]
+    assert out[3]["seq_pos"] == 130 % 64
