@@ -894,6 +894,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("payload").alias("payload_md5"),
         )
 
+    def q_session_window(spark, sf):
+        # streaming-native dynamic-gap sessions in batch/replay mode;
+        # bounds serialized with date_format so both engines hash strings
+        from pdfsearch_spark.streaming import session_stats
+
+        out = session_stats(_t(spark, sf, "events"), gap="6 hours")
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+
     def q_pack_sequences(spark, sf):
         from pdfsearch_spark.pipeline import pack, textstats
 
@@ -1004,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wet_scan": q_wet_scan,
         "q_line_dedup": q_line_dedup,
         "q_pack_sequences": q_pack_sequences,
+        "q_session_window": q_session_window,
         "q_url_normalize": q_url_normalize,
         "q_domain_stats": q_domain_stats,
         "q_fts_bm25": q_fts_bm25,
@@ -2120,6 +2139,28 @@ SELECT url, text_md5, n_chars
 FROM read_parquet('{os.path.join(_INGEST_DIR, "wet_expected.parquet")}')
 """,
         "q_line_dedup": _line_dedup_sql(),
+        "q_session_window": """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END
+           AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+i AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 6 HOUR, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM i GROUP BY user_id, island
+""",
         "q_pack_sequences": f"""
 WITH t AS (
   SELECT doc_id, len({WORDS_D})::BIGINT AS n_tokens FROM documents

@@ -1,6 +1,6 @@
 from .dedup import stream_exact_dedup
 from .ingest import PAGES_SCHEMA, stream_refresh
-from .stats import stream_ingest_stats, windowed_ingest_stats
+from .stats import session_stats, stream_ingest_stats, windowed_ingest_stats
 
 __all__ = [
     "PAGES_SCHEMA",
@@ -8,4 +8,5 @@ __all__ = [
     "stream_ingest_stats",
     "stream_refresh",
     "windowed_ingest_stats",
+    "session_stats",
 ]

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["windowed_ingest_stats", "stream_ingest_stats"]
+__all__ = ["windowed_ingest_stats", "stream_ingest_stats", "session_stats"]
 
 
 def windowed_ingest_stats(
@@ -55,6 +55,51 @@ def windowed_ingest_stats(
             "n_docs",
             "n_bytes",
             "approx_urls",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "6 hours",
+    watermark_delay: str = "1 day",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key session windows (gaps-and-islands): consecutive events of a
+    key merge into one session while each arrives no more than `gap` after
+    the previous (inclusive at the boundary — an event at exactly
+    last + gap still merges; verified empirically on 4.1.2 and pinned in
+    tests/test_streaming.py); a session's end is its last event + gap.
+
+    Batch and streaming compatible like windowed_ingest_stats —
+    ``F.session_window`` is Structured Streaming's native dynamic-gap
+    window (state per OPEN session only, finalized by the watermark); on a
+    batch frame it's a plain aggregation and every session is emitted.
+
+    Returns (key, session_start, session_end, n_events, sum_value).
+
+    Scale shape: a hash aggregation keyed by (session_window, key) — the
+    engine merges overlapping candidate windows per key in the aggregate,
+    so a hot key costs one reducer's merge of ITS sessions, never a global
+    sort; nothing collects to the driver.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), key_col
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
         )
     )
 

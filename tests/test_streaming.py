@@ -275,3 +275,37 @@ def test_windowed_stats_counts_match_batch_recompute(spark, stats_result):
     # urls are unique per row, so the HLL estimate tracks n_docs closely
     for r in stats_result["out"].collect():
         assert abs(r["approx_urls"] - r["n_docs"]) <= max(2, 0.1 * r["n_docs"])
+
+
+def test_session_stats_batch_semantics(spark):
+    """Gap rule pinned by hand: an event at EXACTLY the running session end
+    (last + gap) still merges — Spark's boundary is inclusive — and the
+    session end extends to the new last event + gap; the first event
+    strictly past the end opens a new session."""
+    from datetime import datetime
+
+    from pdfsearch_spark.streaming import session_stats
+
+    def at(minutes):
+        return datetime(2024, 1, 1, minutes // 60, minutes % 60, 0)
+
+    rows = [
+        # user 1: 0, 30, 59 merge; 119 == 59+60 (exact boundary) merges;
+        # 179 == 119+60 merges again; 240 > 179+60=239 -> NEW session
+        (1, at(0), 1.0), (1, at(30), 2.0), (1, at(59), 3.0),
+        (1, at(119), 4.0), (1, at(179), 5.0), (1, at(240), 6.0),
+        # user 2: single event
+        (2, at(10), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sorted(
+        session_stats(df, gap="60 minutes").collect(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+    assert len(out) == 3
+    s1, s2, s3 = out
+    assert s1["user_id"] == 1 and s1["n_events"] == 5 and s1["sum_value"] == 15.0
+    assert s1["session_start"] == at(0) and s1["session_end"] == at(179 + 60)
+    assert s2["user_id"] == 1 and s2["n_events"] == 1
+    assert s2["session_start"] == at(240) and s2["session_end"] == at(300)
+    assert s3["user_id"] == 2 and s3["n_events"] == 1 and s3["sum_value"] == 7.0
