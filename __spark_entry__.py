@@ -894,6 +894,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("payload").alias("payload_md5"),
         )
 
+    def q_snapshot_diff(spark, sf):
+        # two crawls derived deterministically from documents: drop %13==3
+        # (removed), append ' updated' to %7==2 (changed), add shifted keys
+        # for %11==5 (added)
+        from pdfsearch_spark.pipeline.curate import snapshot_diff
+
+        docs = _t(spark, sf, "documents")
+        text = F.coalesce(F.col("text"), F.lit(""))
+        old = docs.select("doc_id", "text")
+        new = (
+            docs.filter("doc_id % 13 != 3")
+            .select(
+                "doc_id",
+                F.when(
+                    F.expr("doc_id % 7 = 2"),
+                    F.concat(text, F.lit(" updated")),
+                )
+                .otherwise(text)
+                .alias("text"),
+            )
+            .unionByName(
+                docs.filter("doc_id % 11 = 5").select(
+                    (F.col("doc_id") + 100000).alias("doc_id"),
+                    F.concat(F.lit("new page "), text).alias("text"),
+                )
+            )
+        )
+        return snapshot_diff(old, new)
+
     def q_session_window(spark, sf):
         # streaming-native dynamic-gap sessions in batch/replay mode;
         # bounds serialized with date_format so both engines hash strings
@@ -1023,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup": q_line_dedup,
         "q_pack_sequences": q_pack_sequences,
         "q_session_window": q_session_window,
+        "q_snapshot_diff": q_snapshot_diff,
         "q_url_normalize": q_url_normalize,
         "q_domain_stats": q_domain_stats,
         "q_fts_bm25": q_fts_bm25,
@@ -2139,6 +2169,30 @@ SELECT url, text_md5, n_chars
 FROM read_parquet('{os.path.join(_INGEST_DIR, "wet_expected.parquet")}')
 """,
         "q_line_dedup": _line_dedup_sql(),
+        "q_snapshot_diff": """
+WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS old_md5 FROM documents),
+nsrc AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN coalesce(text, '') || ' updated'
+              ELSE coalesce(text, '') END AS t
+  FROM documents WHERE doc_id % 13 != 3
+  UNION ALL
+  SELECT doc_id + 100000, 'new page ' || coalesce(text, '')
+  FROM documents WHERE doc_id % 11 = 5
+),
+n AS (SELECT doc_id, md5(t) AS new_md5 FROM nsrc),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_md5, new_md5
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, coalesce(old_md5, '') AS old_md5,
+       coalesce(new_md5, '') AS new_md5,
+       CASE WHEN old_md5 IS NULL THEN 'added'
+            WHEN new_md5 IS NULL THEN 'removed'
+            WHEN old_md5 != new_md5 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j
+""",
         "q_session_window": """
 WITH m AS (
   SELECT user_id, ts, value,

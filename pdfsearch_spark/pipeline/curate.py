@@ -281,6 +281,53 @@ def rebalance_mix(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    content_cols: tuple = ("text",),
+) -> DataFrame:
+    """Crawl-snapshot diff: classify every document key across two crawls as
+    'added' (new only), 'removed' (old only), 'changed' (both, content hash
+    differs), or 'unchanged' — the op an incremental re-index / re-train
+    decision keys on (only added+changed need processing).
+
+    Content identity is md5 over the content columns joined with a 0x1f
+    separator (so ("ab","c") never collides with ("a","bc")).
+
+    Returns (key_col, old_md5, new_md5, status).
+
+    Scale shape: each side reduces to (key, 16-byte hash) in its scan
+    projection — content bytes never cross the shuffle — then ONE
+    co-partitioned full-outer equi-join on the key. No skew risk (keys are
+    unique per side), no driver traffic.
+    """
+    sep = "\x1f"
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        cols = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]
+        return df.select(
+            F.col(key_col),
+            F.md5(F.concat_ws(sep, *cols).cast("binary")).alias(alias),
+        )
+
+    o = hashed(old, "old_md5")
+    n = hashed(new, "new_md5")
+    joined = o.join(n, key_col, "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        key_col,
+        F.coalesce("old_md5", F.lit("")).alias("old_md5"),
+        F.coalesce("new_md5", F.lit("")).alias("new_md5"),
+        status.alias("status"),
+    )
+
+
 DEFAULT_MIN_LINE_CHARS = 10
 DEFAULT_MAX_DUP_DOCS = 2
 

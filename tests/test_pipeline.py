@@ -1042,3 +1042,24 @@ def test_pack_sequences_boundaries(spark):
     assert [out[d]["offset"] for d in (1, 2, 3, 4, 5)] == [0, 100, 130, 160, 210]
     assert [out[d]["seq_id"] for d in (1, 2, 3, 4, 5)] == [0, 1, 2, 2, 3]
     assert out[3]["seq_pos"] == 130 % 64
+
+
+def test_snapshot_diff_statuses(spark):
+    from pdfsearch_spark.pipeline.curate import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "did change"), (4, "brand new"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged"}
+    # multi-column content identity: boundary-safe separator
+    o2 = spark.createDataFrame([(1, "ab", "c")], "doc_id long, a string, b string")
+    n2 = spark.createDataFrame([(1, "a", "bc")], "doc_id long, a string, b string")
+    r = snapshot_diff(o2, n2, content_cols=("a", "b")).collect()[0]
+    assert r["status"] == "changed"
