@@ -894,6 +894,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.md5("payload").alias("payload_md5"),
         )
 
+    def q_link_graph(spark, sf):
+        from pdfsearch_spark.pipeline.linkgraph import host_graph
+
+        path, _ = _linkgraph_fixture()
+        return host_graph(spark.read.parquet(path))
+
+    def q_pagerank(spark, sf):
+        from pdfsearch_spark.pipeline.linkgraph import host_graph, pagerank
+
+        path, _ = _linkgraph_fixture()
+        pr = pagerank(
+            host_graph(spark.read.parquet(path)),
+            damping=_PR_DAMPING,
+            n_iter=_PR_ITERS,
+        )
+        return pr.select("node", F.round("rank", 6).alias("rank"))
+
+    def q_degree_stats(spark, sf):
+        from pdfsearch_spark.pipeline.linkgraph import degree_stats, host_graph
+
+        path, _ = _linkgraph_fixture()
+        return degree_stats(host_graph(spark.read.parquet(path)))
+
     def q_snapshot_diff(spark, sf):
         # two crawls derived deterministically from documents: drop %13==3
         # (removed), append ' updated' to %7==2 (changed), add shifted keys
@@ -1053,6 +1076,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_session_window": q_session_window,
         "q_snapshot_diff": q_snapshot_diff,
+        "q_link_graph": q_link_graph,
+        "q_pagerank": q_pagerank,
+        "q_degree_stats": q_degree_stats,
         "q_url_normalize": q_url_normalize,
         "q_domain_stats": q_domain_stats,
         "q_fts_bm25": q_fts_bm25,
@@ -1566,6 +1592,192 @@ a AS (SELECT doc_id, n_chars, url_norm, host,
 SELECT doc_id, n_chars, url_norm, host,
        CASE WHEN picked = '' THEN host ELSE picked END AS apex_domain
 FROM a
+"""
+
+
+_LINKGRAPH_DIR = "/tmp/spark_entry_linkgraph_v1"  # version-keyed
+_LINKGRAPH_HOSTS = [f"site{j}.example.com" for j in range(10)] + [
+    "shop.co.uk",
+    "mirror-site.net",
+]
+_LINKGRAPH_PAGES_PER_HOST = 20
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def _lg_variant(host: str, h: bytes, j: int) -> str:
+    """A URL-prefix variant that canonicalizes back to `host`."""
+    forms = [
+        f"https://{host}",
+        f"https://{host.upper()}",
+        f"https://{host}:443",
+        f"http://{host}",
+        f"http://{host}:80",
+    ]
+    return forms[h[j % 16] % len(forms)]
+
+
+def _linkgraph_fixture() -> tuple[str, int]:
+    """Deterministic (url, html) pages parquet with absolute hrefs across a
+    fixed host pool (case/port variants that must canonicalize together),
+    same-host links (self-loop filter), and noise the extractor must ignore
+    (relative hrefs, mailto, single-quoted attributes). Returns (path, N)
+    where N is the host-graph node count, simulated in Python at generation
+    time so the PageRank oracle can inline the exact same rounded seed/base
+    literals the Spark side computes."""
+    import hashlib
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_LINKGRAPH_DIR, "pages.parquet")
+    meta_path = os.path.join(_LINKGRAPH_DIR, "meta.json")
+    if os.path.exists(path) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return path, json.load(f)["n_nodes"]
+    os.makedirs(_LINKGRAPH_DIR, exist_ok=True)
+    hosts = _LINKGRAPH_HOSTS
+    urls, htmls = [], []
+    node_set: set = set()
+    for hi, host in enumerate(hosts):
+        for p in range(_LINKGRAPH_PAGES_PER_HOST):
+            h = hashlib.md5(f"lg-{hi}-{p}".encode()).digest()
+            url = f"{_lg_variant(host, h, 0)}/p{p}"
+            parts = [f"<html><body><h1>page {p} of {host}</h1>"]
+            n_links = 2 + h[1] % 5
+            for li in range(n_links):
+                dst = hosts[(hi + 1 + h[2 + li] % (len(hosts) - 1)) % len(hosts)]
+                dp = h[7 + li] % _LINKGRAPH_PAGES_PER_HOST
+                parts.append(
+                    f'<a href="{_lg_variant(dst, h, 8 + li)}/p{dp}">x</a>'
+                )
+                node_set.add(host)
+                node_set.add(dst)
+            if h[3] % 3 == 0:  # same-host link -> self-loop, filtered
+                parts.append(f'<a href="https://{host}/p0">self</a>')
+            parts.append('<a href="/relative/ignored">rel</a>')
+            parts.append('<a href="mailto:x@y.z">mail</a>')
+            parts.append("<a href='https://single-quoted.ignored/p'>sq</a>")
+            parts.append("</body></html>")
+            urls.append(url)
+            htmls.append("".join(parts))
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.string()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump({"n_nodes": len(node_set)}, f)
+    os.replace(meta_path + ".tmp", meta_path)
+    return path, len(node_set)
+
+
+def _lg_host_of_sql(x: str) -> str:
+    """DuckDB host-of-canonical-URL expression. Only the steps that can
+    touch the authority prefix (fragment strip, lowercase scheme+authority,
+    default-port strip) — the query-param steps of url_normalize can never
+    alter text before the first '/', so the host is identical."""
+    auth = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+    u1 = f"regexp_replace({x}, '#.*$', '')"
+    pre = f"regexp_extract({u1}, '{auth}', 1)"
+    u2 = f"(lower({pre}) || substring({u1}, length({pre}) + 1))"
+    u3 = (
+        f"regexp_replace(regexp_replace({u2},"
+        f" '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2'),"
+        f" '^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2')"
+    )
+    return f"regexp_extract({u3}, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1)"
+
+
+def _lg_edges_sql(path: str) -> str:
+    from pdfsearch_spark.pipeline.linkgraph import HREF_RE
+
+    return f"""
+links AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS dst_url
+  FROM read_parquet('{path}')
+),
+hosted AS (
+  SELECT {_lg_host_of_sql("src_url")} AS src_host,
+         {_lg_host_of_sql("dst_url")} AS dst_host
+  FROM links
+),
+edges AS (
+  SELECT src_host, dst_host, count(*) AS weight
+  FROM hosted
+  WHERE src_host != '' AND dst_host != '' AND src_host != dst_host
+  GROUP BY 1, 2
+)
+"""
+
+
+def _pagerank_sql(path: str, n_nodes: int) -> str:
+    r0 = round(1.0 / n_nodes, 8)
+    base = round((1.0 - _PR_DAMPING) / n_nodes, 8)
+    ctes = [
+        _lg_edges_sql(path).strip().rstrip(),
+        """nodes AS (
+  SELECT DISTINCT src_host AS node FROM edges
+  UNION SELECT DISTINCT dst_host FROM edges
+)""",
+        """outw AS (
+  SELECT src_host, sum(weight::DOUBLE) AS wout FROM edges GROUP BY 1
+)""",
+        f"r0 AS (SELECT node, {r0!r}::DOUBLE AS rank FROM nodes)",
+    ]
+    for it in range(1, _PR_ITERS + 1):
+        prev = f"r{it - 1}"
+        ctes.append(
+            f"""r{it} AS (
+  SELECT nd.node,
+         round({base!r}::DOUBLE + {_PR_DAMPING} * coalesce(s.s, 0), 8) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst_host AS node, sum(r.rank * e.weight / o.wout) AS s
+    FROM edges e
+    JOIN {prev} r ON e.src_host = r.node
+    JOIN outw o ON e.src_host = o.src_host
+    GROUP BY 1
+  ) s ON nd.node = s.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(c.removeprefix("WITH ").strip() for c in ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+def _link_graph_oracle_sql() -> str:
+    path, _ = _linkgraph_fixture()
+    return f"WITH {_lg_edges_sql(path).strip()}\nSELECT src_host, dst_host, weight FROM edges"
+
+
+def _pagerank_oracle_sql() -> str:
+    path, n = _linkgraph_fixture()
+    return _pagerank_sql(path, n)
+
+
+def _degree_stats_oracle_sql() -> str:
+    path, _ = _linkgraph_fixture()
+    return f"""
+WITH {_lg_edges_sql(path).strip()},
+o AS (SELECT src_host AS host, count(*) AS out_deg, sum(weight) AS out_weight
+      FROM edges GROUP BY 1),
+i AS (SELECT dst_host AS host, count(*) AS in_deg, sum(weight) AS in_weight
+      FROM edges GROUP BY 1)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(out_deg, 0)::BIGINT AS out_deg,
+       coalesce(in_deg, 0)::BIGINT AS in_deg,
+       coalesce(out_weight, 0)::BIGINT AS out_weight,
+       coalesce(in_weight, 0)::BIGINT AS in_weight
+FROM o FULL OUTER JOIN i ON o.host = i.host
 """
 
 
@@ -2169,6 +2381,9 @@ SELECT url, text_md5, n_chars
 FROM read_parquet('{os.path.join(_INGEST_DIR, "wet_expected.parquet")}')
 """,
         "q_line_dedup": _line_dedup_sql(),
+        "q_link_graph": _link_graph_oracle_sql(),
+        "q_pagerank": _pagerank_oracle_sql(),
+        "q_degree_stats": _degree_stats_oracle_sql(),
         "q_snapshot_diff": """
 WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS old_md5 FROM documents),
 nsrc AS (

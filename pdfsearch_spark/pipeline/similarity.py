@@ -165,25 +165,23 @@ def ivf_centroids(
     return out
 
 
-def _cell_dist_exprs(vec_col: str, centroids: list[list[float]]) -> list[str]:
-    """Per-centroid argmin-equivalent squared-L2 distance: ||v - c||^2 =
-    ||v||^2 - 2 v.c + ||c||^2, and ||v||^2 is constant across cells for a
-    given row, so (||c||^2 - 2 v.c) ranks cells identically. ||c||^2 folds to
-    a literal. Rounded to 6 dp so the argmin is stable across engines' float
-    summation."""
-    out = []
-    for c in centroids:
-        c2 = round(sum(v * v for v in c), 6)
-        out.append(f"round(cast({c2} as double) - 2D * {_dot_expr(vec_col, c)}, 6)")
-    return out
+# distance arithmetic note (applies to _sub_dists_expr): the per-centroid
+# argmin-equivalent squared-L2 distance is ||v - c||^2 = ||v||^2 - 2 v.c +
+# ||c||^2, and ||v||^2 is constant across cells for a given row, so
+# (||c||^2 - 2 v.c) ranks cells identically; ||c||^2 folds to a literal and
+# each distance is rounded to 6 dp so the argmin is stable across engines'
+# float summation.
 
 
 def cell_expr(vec_col: str, centroids: list[list[float]]) -> str:
-    """IVF cell id (0-based): index of the nearest centroid; first-min wins on
-    ties in every engine (array_position/list_position return the first
-    match, and the min IS an element so the equality is bit-exact)."""
-    dists = "array(" + ",".join(_cell_dist_exprs(vec_col, centroids)) + ")"
-    return f"(array_position({dists}, array_min({dists})) - 1)"
+    """IVF cell id (0-based): index of the nearest centroid; first-min wins
+    on ties in every engine (the fold keeps its accumulator on ties, which
+    matches DuckDB's list_position-of-list_min). Centroids live in a folded
+    nested literal (see _nested_lit) and the distance array is evaluated
+    ONCE — the enumerated-subtree + array_position(d, array_min(d)) form
+    this replaces put ~2 x nlist x dim nodes in the projection, blew the
+    codegen method limit, and ran interpreted."""
+    return f"({_argmin_expr(_sub_dists_expr(vec_col, centroids))})"
 
 
 def ivf_assign(
@@ -203,13 +201,13 @@ def probe_cells_expr(
 ) -> str:
     """Array of the nprobe nearest cell ids for a query vector: sort
     (dist, cell) structs — array_sort on structs orders by field position, so
-    ties break on the smaller cell id — and slice the head."""
-    structs = ",".join(
-        f"named_struct('d', {d}, 'cell', {i})"
-        for i, d in enumerate(_cell_dist_exprs(vec_col, centroids))
-    )
+    ties break on the smaller cell id — and slice the head. Same
+    folded-literal distance array as cell_expr."""
+    dists = _sub_dists_expr(vec_col, centroids)
     return (
-        f"transform(slice(array_sort(array({structs})), 1, {nprobe}), s -> s.cell)"
+        f"transform(slice(array_sort(transform({dists}, "
+        f"(d, i) -> named_struct('d', d, 'cell', i))), 1, {nprobe}), "
+        f"s -> s.cell)"
     )
 
 
@@ -279,12 +277,53 @@ def pq_codebooks(
     ]
 
 
+def _nested_lit(arrs: list[list[float]]) -> str:
+    """array<array<double>> literal. Constant-folded by Catalyst into ONE
+    Literal node — this is load-bearing: enumerating ksub codes as separate
+    expression subtrees (the cell_expr pattern) puts ~10^4 nodes in the
+    projection, blows the codegen method limit, and drops the whole stage
+    to interpreted eval (measured 7x slower); as folded array literals the
+    tree is O(1) per subspace and the loop over codes is data-driven."""
+    inner = ",".join(
+        "array(" + ",".join(f"{v}D" for v in a) + ")" for a in arrs
+    )
+    return f"array({inner})"
+
+
+def _sub_dists_expr(sub: str, book: list[list[float]]) -> str:
+    """array<double> of rounded argmin-equivalent distances of subvector
+    `sub` to every code in `book` — same arithmetic as _cell_dist_exprs
+    (round(||c||^2 - 2 v.c, 6)), but looped over a folded nested literal."""
+    books_lit = _nested_lit(book)
+    c2s = "array(" + ",".join(
+        f"{round(sum(v * v for v in cb), 6)}D" for cb in book
+    ) + ")"
+    return (
+        f"zip_with({books_lit}, {c2s}, (cb, c2) -> "
+        f"round(c2 - 2D * aggregate(zip_with({sub}, cb, "
+        f"(a, b) -> cast(a as double) * b), 0D, (acc, x) -> acc + x), 6))"
+    )
+
+
+def _argmin_expr(dists: str) -> str:
+    """0-based index of the first minimum — single evaluation of `dists`
+    (array_position(d, array_min(d)) would evaluate it twice); the fold
+    keeps the accumulator on ties, so first-min-wins like list_position."""
+    return (
+        f"aggregate(transform({dists}, (x, i) -> named_struct('d', x, 'i', i)), "
+        f"named_struct('d', cast('Infinity' as double), 'i', -1), "
+        f"(acc, s) -> if(s.d < acc.d, s, acc)).i"
+    )
+
+
 def pq_code_expr(vec_col: str, codebooks: list[list[list[float]]]) -> str:
     """array<int> of per-subspace nearest-code ids (0-based) — the same
-    first-min-wins argmin as cell_expr, applied to each slice."""
+    first-min-wins argmin semantics as cell_expr, applied to each slice."""
     dsub = len(codebooks[0][0])
     parts = [
-        cell_expr(f"slice({vec_col}, {mi * dsub + 1}, {dsub})", book)
+        _argmin_expr(
+            _sub_dists_expr(f"slice({vec_col}, {mi * dsub + 1}, {dsub})", book)
+        )
         for mi, book in enumerate(codebooks)
     ]
     return "array(" + ",".join(parts) + ")"
@@ -305,13 +344,18 @@ def pq_encode(
 def pq_lut_expr(qvec_col: str, codebooks: list[list[list[float]]]) -> str:
     """Flat m*ksub lookup table for one query vector: lut[mi*ksub + j] =
     dot(query subvector mi, codebooks[mi][j]), each rounded to 6 dp so the
-    downstream sum is bit-identical across engines."""
+    downstream sum is bit-identical across engines. Same folded-literal
+    layout as pq_code_expr (flatten is mi-major, matching the ADC index)."""
     dsub = len(codebooks[0][0])
-    dots = []
+    per_sub = []
     for mi, book in enumerate(codebooks):
         sub = f"slice({qvec_col}, {mi * dsub + 1}, {dsub})"
-        dots.extend(f"round({_dot_expr(sub, c)}, 6)" for c in book)
-    return "array(" + ",".join(dots) + ")"
+        per_sub.append(
+            f"transform({_nested_lit(book)}, cb -> "
+            f"round(aggregate(zip_with({sub}, cb, "
+            f"(a, b) -> cast(a as double) * b), 0D, (acc, x) -> acc + x), 6))"
+        )
+    return "flatten(array(" + ",".join(per_sub) + "))"
 
 
 def _adc_expr(code_col: str, lut_col: str, ksub: int) -> str:
@@ -498,9 +542,7 @@ def pq_inertia(emb: DataFrame, codebooks: list[list[list[float]]]) -> float:
     dsub = len(codebooks[0][0])
     rows = _pq_sub_rows(emb, len(codebooks), dsub)
     branches = " ".join(
-        "WHEN mi = {mi} THEN array_min(array({dists}))".format(
-            mi=mi, dists=",".join(_cell_dist_exprs("sub", book))
-        )
+        f"WHEN mi = {mi} THEN array_min({_sub_dists_expr('sub', book)})"
         for mi, book in enumerate(codebooks)
     )
     return float(
@@ -514,7 +556,7 @@ def ivf_inertia(emb: DataFrame, centroids: list[list[float]]) -> float:
     """Mean argmin-equivalent distance (||c||^2 - 2 v.c) over the corpus —
     monotone in true k-means inertia for fixed data; used to test that
     training improves the partition."""
-    dists = "array(" + ",".join(_cell_dist_exprs("embedding", centroids)) + ")"
+    dists = _sub_dists_expr("embedding", centroids)
     return float(
         emb.select(F.expr(f"array_min({dists})").alias("d"))
         .agg(F.avg("d"))

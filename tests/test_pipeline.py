@@ -1063,3 +1063,57 @@ def test_snapshot_diff_statuses(spark):
     n2 = spark.createDataFrame([(1, "a", "bc")], "doc_id long, a string, b string")
     r = snapshot_diff(o2, n2, content_cols=("a", "b")).collect()[0]
     assert r["status"] == "changed"
+
+
+def test_host_graph_canonicalizes_and_filters(spark):
+    from pdfsearch_spark.pipeline.linkgraph import extract_links, host_graph
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/p1",
+             '<a href="https://B.com/x">1</a><a href="http://b.com:80/y">2</a>'
+             '<a href="/rel">r</a><a href="mailto:z@b.com">m</a>'
+             "<a href='https://c.com/sq'>sq</a>"),
+            ("https://A.com:443/p2",
+             '<a href="https://a.com/self">s</a><a href="https://b.com/z">3</a>'),
+        ],
+        "url string, html string",
+    )
+    links = extract_links(pages).collect()
+    # relative, mailto, single-quoted all ignored
+    assert sorted(r["dst_url"] for r in links) == [
+        "http://b.com:80/y", "https://B.com/x", "https://a.com/self",
+        "https://b.com/z",
+    ]
+    edges = {(r["src_host"], r["dst_host"]): r["weight"]
+             for r in host_graph(pages).collect()}
+    # case + default-port variants merge; the a.com self-loop is dropped
+    assert edges == {("a.com", "b.com"): 3}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from pdfsearch_spark.pipeline.linkgraph import pagerank
+
+    edges = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1),
+        ("d", "c", 5),  # d is a source-only node (rank stays at base)
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, weight long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
+
+    nodes = ["a", "b", "c", "d"]
+    n = len(nodes)
+    d = 0.85
+    base = round((1 - d) / n, 8)
+    out_w = {"a": 3.0, "b": 1.0, "c": 1.0, "d": 5.0}
+    rank = {x: round(1.0 / n, 8) for x in nodes}
+    for _ in range(3):
+        s = {x: 0.0 for x in nodes}
+        for src, dst, w in edges:
+            s[dst] += rank[src] * w / out_w[src]
+        rank = {x: np.round(base + d * s[x], 8) for x in nodes}
+    for x in nodes:
+        assert abs(got[x] - rank[x]) < 2e-8, (x, got[x], rank[x])
+    assert got["d"] == base  # no in-edges
