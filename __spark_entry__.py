@@ -1014,6 +1014,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # df/tf/dl/idf-clamp BM25 arithmetic from it — same split q_bm25_ws
     # proves, now over the REAL analyzer + index + WAND path) ----
 
+    def q_index_stats(spark, sf):
+        from pdfsearch_spark.observe import index_stats
+
+        return index_stats(spark, _ensure_fts_index(spark))
+
     def q_fts_bm25(spark, sf):
         return _fts_ranked(spark, "renal failure")
 
@@ -1081,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_degree_stats": q_degree_stats,
         "q_url_normalize": q_url_normalize,
         "q_domain_stats": q_domain_stats,
+        "q_index_stats": q_index_stats,
         "q_fts_bm25": q_fts_bm25,
         "q_fts_phrase": q_fts_phrase,
         "q_fts_prefix": q_fts_prefix,
@@ -1093,21 +1099,26 @@ _FTS_INDEX_DIR = "/tmp/spark_entry_fts_index_v4"  # version-keyed: format bumps 
 _FTS_N = 200
 
 
-def _fts_search(
-    spark: SparkSession, query: str, k: int, with_snippets: bool = True
-) -> DataFrame:
-    """Build-once (cached) FTS index over the 200-doc synthetic web corpus,
-    then run the real sharded BM25 engine (rank-identical to SQLite FTS5 —
-    see tests/test_search.py)."""
+def _ensure_fts_index(spark: SparkSession) -> str:
+    """Build-once (cached) FTS index over the 200-doc synthetic web corpus."""
     from pdfsearch_spark import corpus
     from pdfsearch_spark.index_build import build_index
-    from pdfsearch_spark.search import SearchEngine
 
     marker = os.path.join(_FTS_INDEX_DIR, "stats")
     if not os.path.exists(marker):
         pages = corpus.web_pages_df(spark, _FTS_N, partitions=8)
         build_index(spark, pages, _FTS_INDEX_DIR, n_shards=8)
-    eng = SearchEngine(spark, _FTS_INDEX_DIR)
+    return _FTS_INDEX_DIR
+
+
+def _fts_search(
+    spark: SparkSession, query: str, k: int, with_snippets: bool = True
+) -> DataFrame:
+    """The real sharded BM25 engine over the build-once index
+    (rank-identical to SQLite FTS5 — see tests/test_search.py)."""
+    from pdfsearch_spark.search import SearchEngine
+
+    eng = SearchEngine(spark, _ensure_fts_index(spark))
     return eng.search(query, k=k, with_snippets=with_snippets)
 
 
@@ -2455,6 +2466,17 @@ SELECT apex_domain, count(*) AS n_docs,
        sum(n_chars)::BIGINT AS total_chars,
        count(DISTINCT url_norm) AS n_canonical_urls
 FROM ({_urlops_norm_sql()}) GROUP BY apex_domain
+""",
+        "q_index_stats": f"""
+SELECT segment::BIGINT AS segment, shard::BIGINT AS shard,
+       count(*) AS n_terms, sum(df)::BIGINT AS n_postings,
+       sum(cf)::BIGINT AS n_tokens,
+       sum(octet_length(doc_blob))::BIGINT AS doc_bytes,
+       sum(octet_length(tf_blob))::BIGINT AS tf_bytes,
+       sum(octet_length(pos_blob))::BIGINT AS pos_bytes
+FROM read_parquet('{_FTS_INDEX_DIR}/postings/*/*/*.parquet',
+                  hive_partitioning = 1)
+GROUP BY 1, 2
 """,
         "q_fts_bm25": _fts_bm25_sql(),
         "q_fts_phrase": _fts_phrase_sql(),

@@ -53,6 +53,9 @@ PIPELINE_QUERIES = [
     "q_ann_ivf",
     "q_ann_ivfpq",
     "q_windowed_agg",
+    "q_session_window",
+    "q_pack_sequences",
+    "q_snapshot_diff",
     "q_source_cap",
     "q_pii_scrub",
     "q_split_assign",

@@ -54,3 +54,25 @@ def test_reader_refuses_wrong_format(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "stats"))
     with pytest.raises(ValueError, match="format"):
         SearchEngine(spark, str(tmp_path))
+
+
+def test_index_stats_consistent_with_term_stats(spark, index_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfsearch_spark.observe import index_stats
+
+    st = index_stats(spark, index_dir).collect()
+    assert st and all(r["n_terms"] > 0 for r in st)
+    # totals must reconcile with the global term_stats table: per-shard
+    # postings partition the (term, doc) pairs, so sums of df/cf agree
+    ts = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .first()
+    )
+    assert sum(r["n_postings"] for r in st) == ts["df"]
+    assert sum(r["n_tokens"] for r in st) == ts["cf"]
+    # blob byte counts are positive wherever there are postings
+    assert all(r["doc_bytes"] > 0 and r["tf_bytes"] > 0 for r in st)
