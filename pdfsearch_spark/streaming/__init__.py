@@ -1,6 +1,11 @@
 from .dedup import stream_exact_dedup
 from .ingest import PAGES_SCHEMA, stream_refresh
-from .stats import session_stats, stream_ingest_stats, windowed_ingest_stats
+from .stats import (
+    session_stats,
+    stream_ingest_stats,
+    stream_session_stats,
+    windowed_ingest_stats,
+)
 
 __all__ = [
     "PAGES_SCHEMA",
@@ -9,4 +14,5 @@ __all__ = [
     "stream_refresh",
     "windowed_ingest_stats",
     "session_stats",
+    "stream_session_stats",
 ]

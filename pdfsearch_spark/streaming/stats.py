@@ -104,6 +104,51 @@ def session_stats(
     )
 
 
+def stream_session_stats(
+    spark: SparkSession,
+    source_glob: str,
+    result_dir: str,
+    checkpoint_dir: str,
+    gap: str = "6 hours",
+    watermark_delay: str = "1 day",
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    schema=None,
+):
+    """readStream(parquet) → session_stats → append-mode parquet sink.
+
+    The append-mode contract mirrors stream_ingest_stats (verified
+    empirically on 4.1.2, tests/test_streaming.py), with the properties
+    unique to session windows:
+
+    - a session OPEN in state MERGES with in-gap events from later
+      micro-batches, extending its end, and is emitted exactly once when
+      the watermark passes its (final) end;
+    - an event later than the watermark still merges if its session has
+      not yet been evicted — eviction and the late arrival landing in the
+      same micro-batch means merge first, then emit the merged session;
+    - only events whose session was evicted in a PRIOR batch are dropped
+      (numRowsDroppedByWatermark), never emitted as corrections.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    if schema is None:
+        schema = spark.read.parquet(source_glob).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = reader.parquet(source_glob)
+    sess = session_stats(events, gap, watermark_delay)
+    writer = (
+        sess.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", result_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_ingest_stats(
     spark: SparkSession,
     source_glob: str,

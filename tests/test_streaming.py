@@ -309,3 +309,82 @@ def test_session_stats_batch_semantics(spark):
     assert s2["user_id"] == 1 and s2["n_events"] == 1
     assert s2["session_start"] == at(240) and s2["session_end"] == at(300)
     assert s3["user_id"] == 2 and s3["n_events"] == 1 and s3["sum_value"] == 7.0
+
+
+SESS_BASE = "/tmp/pdfsearch_test_session_stream"
+
+
+def test_session_stream_merges_across_batches(spark):
+    """Pins the append-mode session contract on 4.1.2 (same one-batch-lag
+    eviction-merge behavior as the windowed stats tests): an event later
+    than the watermark still MERGES into its session if that session has
+    not yet been evicted — eviction and the late arrival landing in the
+    same batch means merge first, then emit — and only events whose session
+    was evicted in a PRIOR batch are dropped."""
+    from datetime import datetime
+
+    from pdfsearch_spark.streaming import session_stats, stream_session_stats
+
+    def at(h, m=0):
+        return datetime(2024, 1, 1, h, m, 0)
+
+    f1 = [(1, at(0, 0), 1.0), (1, at(0, 10), 2.0), (2, at(0, 5), 3.0)]
+    # user 1 at 0:30 is within the 30m gap of 0:10 -> cross-batch merge;
+    # user 9 at 10:00 advances event time so f3's batch runs with
+    # watermark 10:00 - 1h = 9:00, which evicts the early sessions
+    f2 = [(1, at(0, 30), 4.0), (9, at(10, 0), 5.0)]
+    # f3's 0:40 row is hours late, but its session is evicted IN THIS SAME
+    # batch -> merge-before-eviction: it joins the session and extends its
+    # end to 1:10 before the merged session is emitted
+    f3 = [(1, at(0, 40), 99.0), (9, at(11, 0), 6.0)]
+    # f4's 0:50 row arrives a batch AFTER the eviction -> dropped
+    f4 = [(1, at(0, 50), 77.0), (9, at(12, 0), 7.0)]
+    shutil.rmtree(SESS_BASE, ignore_errors=True)
+    import time
+
+    for name, rows in [("f1", f1), ("f2", f2), ("f3", f3), ("f4", f4)]:
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{SESS_BASE}/incoming/{name}"
+        )
+        time.sleep(1.2)  # distinct modTimes -> one file per micro-batch
+    q = stream_session_stats(
+        spark,
+        SESS_BASE + "/incoming/*",
+        SESS_BASE + "/result",
+        SESS_BASE + "/ckpt",
+        gap="30 minutes",
+        watermark_delay="1 hour",
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    out = sorted(
+        spark.read.parquet(SESS_BASE + "/result").collect(),
+        key=lambda r: (r["user_id"], r["session_start"]),
+    )
+    assert [(r["user_id"], r["n_events"]) for r in out] == [(1, 4), (2, 1), (9, 1)]
+    s1 = out[0]
+    assert s1["session_start"] == at(0, 0)    # merged across batches
+    assert s1["session_end"] == at(1, 10)     # late 0:40 row merged pre-eviction
+    assert s1["sum_value"] == 106.0           # ...and contributed
+    assert out[2]["session_start"] == at(10, 0)  # user 9's first session
+    assert dropped >= 1                       # f4's 0:50 row: post-eviction drop
+    # emitted rows equal a batch replay over everything except the
+    # post-eviction arrivals (f4)
+    ontime = spark.createDataFrame(
+        f1 + f2 + f3, "user_id long, ts timestamp, value double"
+    )
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in session_stats(ontime, "30 minutes", "1 hour").collect()
+    }
+    for r in out:
+        key = (r["user_id"], r["session_start"])
+        assert batch[key] == (r["n_events"], r["sum_value"]), key
