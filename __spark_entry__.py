@@ -946,6 +946,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return snapshot_diff(old, new)
 
+    def q_chunk_documents(spark, sf):
+        from pdfsearch_spark.pipeline.pack import chunk_documents
+
+        out = chunk_documents(_docs_par(spark, sf), chunk_tokens=32, overlap=8)
+        return out.select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            "n_tokens",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        )
+
     def q_session_window(spark, sf):
         # streaming-native dynamic-gap sessions in batch/replay mode;
         # bounds serialized with date_format so both engines hash strings
@@ -1079,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wet_scan": q_wet_scan,
         "q_line_dedup": q_line_dedup,
         "q_pack_sequences": q_pack_sequences,
+        "q_chunk_documents": q_chunk_documents,
         "q_session_window": q_session_window,
         "q_snapshot_diff": q_snapshot_diff,
         "q_link_graph": q_link_graph,
@@ -2418,6 +2431,23 @@ SELECT doc_id, coalesce(old_md5, '') AS old_md5,
             WHEN old_md5 != new_md5 THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM j
+""",
+        "q_chunk_documents": f"""
+WITH w AS (
+  SELECT doc_id, {WORDS_D} AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         unnest(generate_series(0, len(ws) - 1, 24)) AS start_tok
+  FROM w
+)
+SELECT doc_id, (start_tok // 24)::INT AS chunk_id,
+       start_tok::BIGINT AS start_tok,
+       least(32, n - start_tok)::BIGINT AS n_tokens,
+       md5(array_to_string(
+         list_slice(ws, start_tok + 1, least(start_tok + 32, n)), ' '))
+         AS chunk_md5
+FROM c WHERE start_tok = 0 OR start_tok < n - 8
 """,
         "q_session_window": """
 WITH m AS (

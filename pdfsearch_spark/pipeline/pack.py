@@ -73,6 +73,62 @@ def global_offsets(
     )
 
 
+DEFAULT_CHUNK_TOKENS = 512
+DEFAULT_CHUNK_OVERLAP = 64
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = DEFAULT_CHUNK_TOKENS,
+    overlap: int = DEFAULT_CHUNK_OVERLAP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping token windows per document — the chunking
+    step of RAG indexing and long-document training (stride =
+    chunk_tokens - overlap; each chunk repeats the previous chunk's last
+    `overlap` tokens so no boundary context is lost).
+
+    Tokens are the whitespace tokens of the lower-trimmed text (the same
+    convention as textstats.token_counts). Window rule: starts at
+    0, stride, 2*stride, ...; a tail start is kept only while it
+    contributes at least one token beyond the overlap (start < n -
+    overlap), so a final window that would be pure repetition is dropped.
+    Every doc yields >= 1 chunk (an empty text is one empty chunk).
+
+    Returns (doc_id, chunk_id, start_tok, n_tokens, chunk_text) with
+    chunk_id = start_tok / stride (stable, order-free).
+
+    Scale shape: one codegen projection (split once, starts via
+    sequence + filter, text via slice + array_join) and one explode —
+    no shuffle, no UDF; runs at scan speed and column-prunes."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    norm = f"trim(lower(coalesce({text_col}, '')))"
+    words = f"split({norm}, ' ')"
+    starts = (
+        f"filter(sequence(0, greatest(size({words}) - 1, 0), {stride}), "
+        f"s -> s = 0 OR s < size({words}) - {overlap})"
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.expr(words).alias("_ws"),
+        F.explode(F.expr(starts)).alias("start_tok"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("start_tok") / stride).cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(
+            F.lit(chunk_tokens), F.size("_ws") - F.col("start_tok")
+        ).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_ws"), F.col("start_tok") + 1, F.lit(chunk_tokens)),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     docs_with_tokens: DataFrame,
     seq_len: int = DEFAULT_SEQ_LEN,

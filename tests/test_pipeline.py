@@ -1117,3 +1117,40 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for x in nodes:
         assert abs(got[x] - rank[x]) < 2e-8, (x, got[x], rank[x])
     assert got["d"] == base  # no in-edges
+
+
+def test_chunk_documents_windows(spark):
+    from pdfsearch_spark.pipeline.pack import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, None), (4, " ".join(f"x{i}" for i in range(8)))],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    for chunks in out.values():
+        chunks.sort(key=lambda r: r["chunk_id"])
+    # doc 1: 10 tokens, stride 3 -> candidate starts 0,3,6,9; chunk [6:10)
+    # already covers w9, so start 9 is pure repetition (9 < 10-1 is false)
+    c1 = out[1]
+    assert [r["start_tok"] for r in c1] == [0, 3, 6]
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"   # 1-token overlap
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9" and c1[2]["n_tokens"] == 4
+    # doc 2: shorter than one chunk -> single chunk
+    assert len(out[2]) == 1 and out[2][0]["chunk_text"] == "a b"
+    assert out[2][0]["n_tokens"] == 2
+    # doc 3: null text -> one empty chunk (split('') is [''])
+    assert len(out[3]) == 1 and out[3][0]["chunk_text"] == ""
+    # doc 4: 8 tokens, starts 0,3,6; start 6 < 8-1 kept; next start 9 > n-1
+    assert [r["start_tok"] for r in out[4]] == [0, 3, 6]
+    # pure-repetition tail dropped: 7 tokens, chunk 4, overlap 1 -> starts
+    # 0,3,6; 6 < 7-1=6 is FALSE -> dropped
+    d5 = spark.createDataFrame(
+        [(5, " ".join(f"y{i}" for i in range(7)))], "doc_id long, text string"
+    )
+    s5 = sorted(r["start_tok"] for r in chunk_documents(d5, 4, 1).collect())
+    assert s5 == [0, 3]
