@@ -60,7 +60,10 @@ def parse_warc(buf: bytes, name: str = "") -> list[tuple]:
     unit-testable without Spark). Tolerates gzip (multi-member), skips
     garbage between records by resyncing on the next 'WARC/' magic."""
     if buf[:2] == b"\x1f\x8b":
-        buf = gzip.decompress(buf)
+        try:
+            buf = gzip.decompress(buf)
+        except (OSError, EOFError):
+            return []  # corrupt archive: data loss, never job loss
     rows = []
     pos = 0
     n = len(buf)

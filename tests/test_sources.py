@@ -147,3 +147,43 @@ def test_read_wet_extracts_conversion_records(spark, tmp_path):
     # stage in the plan beyond the one WARC mapInPandas hop
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+# ------------------------------------------------- parser robustness (fuzz)
+
+
+def test_parse_warc_never_raises_on_garbage():
+    """Random byte soup, truncated records, and corrupted headers must never
+    raise — a 100 TB ingest treats bad bytes as data loss, not job loss —
+    and every parsed record must still satisfy the framing invariants."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(buf):
+        rows = parse_warc(buf, "fuzz")
+        for r in rows:
+            assert r[4] == len(r[5])  # content_length == actual payload len
+
+    run()
+
+
+def test_parse_warc_truncated_and_corrupt_headers():
+    good = warc_bytes(
+        [{"record_id": "<a>", "warc_type": "response",
+          "target_uri": "https://x/1", "payload": b"payload bytes"}]
+    )
+    # truncation at every prefix length parses without raising, and any
+    # record it does produce is the intact one
+    for cut in range(len(good)):
+        rows = parse_warc(good[:cut], "t")
+        assert len(rows) <= 1
+    # a record with a garbled Content-Length is skipped; the NEXT intact
+    # record is still recovered by the WARC/ resync
+    bad = good.replace(b"Content-Length: 13", b"Content-Length: NaN")
+    assert parse_warc(bad, "t") == []
+    assert [r[1] for r in parse_warc(bad + good, "t")] == ["<a>"]
+    # a gzip-magic prefix on garbage is a corrupt archive, not a crash
+    assert parse_warc(b"\x1f\x8b" + b"\x00" * 50, "t") == []
+    assert parse_warc(gzip.compress(good)[:20], "t") == []  # truncated .gz
