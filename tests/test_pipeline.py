@@ -1154,3 +1154,40 @@ def test_chunk_documents_windows(spark):
     )
     s5 = sorted(r["start_tok"] for r in chunk_documents(d5, 4, 1).collect())
     assert s5 == [0, 3]
+
+
+def test_chunk_documents_property_vs_naive(spark):
+    """Property test vs a naive Python reference: window starts/sizes/texts
+    agree, every token is covered, and consecutive chunks overlap by exactly
+    `overlap` tokens (except the tail)."""
+    import random
+
+    from pdfsearch_spark.pipeline.pack import chunk_documents
+
+    rnd = random.Random(99)
+    docs = []
+    for i in range(60):
+        n = rnd.randrange(0, 40)
+        docs.append((i, " ".join(f"t{i}x{j}" for j in range(n))))
+    chunk, overlap = 7, 3
+    stride = chunk - overlap
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk, overlap).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["n_tokens"], r["chunk_text"])
+        )
+    for doc_id, text in docs:
+        ws = text.lower().strip().split(" ")  # split('') -> [''] like Spark
+        exp = []
+        s = 0
+        while s == 0 or s < len(ws) - overlap:
+            win = ws[s : s + chunk]
+            exp.append((s, len(win), " ".join(win)))
+            s += stride
+        assert sorted(got[doc_id]) == sorted(exp), doc_id
+        # coverage: the union of [start, start+n) is [0, len(ws))
+        covered = set()
+        for s0, n0, _ in exp:
+            covered.update(range(s0, s0 + n0))
+        assert covered == set(range(len(ws)))
