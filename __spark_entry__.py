@@ -1011,6 +1011,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.read.parquet(_urlops_fixture())
         return domain_stats(df)
 
+    def q_tsv_scan(spark, sf):
+        from pdfsearch_spark.sources.delimited import read_docs_delimited
+
+        _ingest_fixtures()
+        return read_docs_delimited(
+            spark, os.path.join(_INGEST_DIR, "docs.tsv")
+        ).select(
+            F.coalesce("doc_id", F.lit(-1)).alias("doc_id"),
+            "lang",
+            "source",
+            "n_chars",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        )
+
+    def q_tsv_health(spark, sf):
+        from pdfsearch_spark.sources.delimited import read_docs_delimited
+        from pdfsearch_spark.sources.jsonl import corrupt_rate
+
+        _ingest_fixtures()
+        return corrupt_rate(
+            read_docs_delimited(
+                spark, os.path.join(_INGEST_DIR, "docs.tsv"), keep_corrupt=True
+            )
+        )
+
     def q_wet_scan(spark, sf):
         from pdfsearch_spark.sources.wet import read_wet
 
@@ -1087,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_sample": q_frame_sample,
         "q_jsonl_scan": q_jsonl_scan,
         "q_jsonl_health": q_jsonl_health,
+        "q_tsv_scan": q_tsv_scan,
+        "q_tsv_health": q_tsv_health,
         "q_warc_scan": q_warc_scan,
         "q_wet_scan": q_wet_scan,
         "q_line_dedup": q_line_dedup,
@@ -1212,10 +1239,11 @@ def _fts_ranked(spark: SparkSession, query: str) -> DataFrame:
 
 # ------------------------------------------------------- ingest fixtures
 
-_INGEST_DIR = "/tmp/spark_entry_ingest_v2"  # version-keyed: format bumps rebuild
+_INGEST_DIR = "/tmp/spark_entry_ingest_v3"  # version-keyed: format bumps rebuild
 _INGEST_N_JSONL = 240
 _INGEST_N_WARC = 60
 _INGEST_N_WET = 50
+_INGEST_N_TSV = 200
 
 # vocab includes multi-byte UTF-8 so the hash check covers encoding fidelity
 _INGEST_VOCAB = [
@@ -1253,6 +1281,7 @@ def _ingest_fixtures() -> tuple[str, str, str]:
       the Spark scan must recover exact payload bytes to match).
     """
     jsonl_path = os.path.join(_INGEST_DIR, "docs.jsonl")
+    tsv_path = os.path.join(_INGEST_DIR, "docs.tsv")
     warc_dir = os.path.join(_INGEST_DIR, "warc")
     wet_dir = os.path.join(_INGEST_DIR, "wet")
     expected_path = os.path.join(_INGEST_DIR, "warc_expected.parquet")
@@ -1261,6 +1290,7 @@ def _ingest_fixtures() -> tuple[str, str, str]:
         os.path.exists(p)
         for p in (
             jsonl_path,
+            tsv_path,
             expected_path,
             wet_expected_path,
             os.path.join(warc_dir, "a.warc"),
@@ -1307,6 +1337,29 @@ def _ingest_fixtures() -> tuple[str, str, str]:
     with open(jsonl_path + ".tmp", "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     os.replace(jsonl_path + ".tmp", jsonl_path)
+
+    # TSV dump: same corrupt-line contract as JSONL — classes chosen so the
+    # PERMISSIVE quarantine and DuckDB's ignore_errors skip agree exactly
+    # (verified empirically): non-numeric key, wrong column count (both
+    # directions), and a parsed-but-keyless row (empty doc_id field).
+    tsv_lines = []
+    for i in range(_INGEST_N_TSV):
+        did, text, lang, source = _ingest_doc(4000 + i)
+        if i % 17 == 5:  # non-numeric primary key
+            tsv_lines.append(f"id{i}\t{text}\t{lang}\t{source}\t{len(text)}")
+        elif i % 29 == 11:  # too few columns
+            tsv_lines.append(f"{did}\t{text}")
+        elif i % 31 == 20:  # too many columns
+            tsv_lines.append(
+                f"{did}\t{text}\t{lang}\t{source}\t{len(text)}\textra"
+            )
+        elif i % 23 == 7:  # parsed row, key missing (empty field -> NULL)
+            tsv_lines.append(f"\t{text}\t{lang}\t{source}\t{len(text)}")
+        else:
+            tsv_lines.append(f"{did}\t{text}\t{lang}\t{source}\t{len(text)}")
+    with open(tsv_path + ".tmp", "w", encoding="utf-8") as f:
+        f.write("\n".join(tsv_lines) + "\n")
+    os.replace(tsv_path + ".tmp", tsv_path)
 
     recs = []
     for i in range(_INGEST_N_WARC):
@@ -1809,6 +1862,18 @@ def _ingest_jsonl_read_sql() -> str:
     return (
         f"read_json('{os.path.join(_INGEST_DIR, 'docs.jsonl')}', "
         "format='newline_delimited', "
+        "columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR', "
+        "source: 'VARCHAR', n_chars: 'BIGINT'}, ignore_errors=true)"
+    )
+
+
+def _ingest_tsv_read_sql() -> str:
+    """DuckDB re-parse of the TSV dump: ignore_errors SKIPS malformed lines
+    (unlike read_json's null-padding), so the clean row set equals Spark's
+    corrupt-filtered read — verified classification-identical."""
+    return (
+        f"read_csv('{os.path.join(_INGEST_DIR, 'docs.tsv')}', "
+        "delim='\t', header=false, quote='', "
         "columns={doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR', "
         "source: 'VARCHAR', n_chars: 'BIGINT'}, ignore_errors=true)"
     )
@@ -2391,9 +2456,37 @@ SELECT count(*) AS n_rows,
        count(CASE WHEN text IS NULL THEN 1 END) AS n_corrupt,
        count(CASE WHEN text IS NOT NULL AND doc_id IS NULL THEN 1 END)
          AS n_missing_key,
+       count(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL
+                   AND lang IS NOT NULL AND source IS NOT NULL
+                   AND n_chars IS NOT NULL THEN 1 END) AS n_complete,
        round(count(CASE WHEN text IS NULL THEN 1 END) * 1.0 / count(*), 6)
          AS corrupt_rate
 FROM {_ingest_jsonl_read_sql()}
+""",
+        "q_tsv_scan": f"""
+SELECT coalesce(doc_id, -1) AS doc_id, lang, source, n_chars,
+       md5(text) AS text_md5
+FROM {_ingest_tsv_read_sql()}
+""",
+        "q_tsv_health": f"""
+WITH raw AS (
+  SELECT count(*) AS total
+  FROM read_csv('{os.path.join(_INGEST_DIR, "docs.tsv")}',
+                delim=chr(1), header=false, quote='',
+                columns={{line: 'VARCHAR'}})
+),
+clean AS (
+  SELECT count(*) AS ok,
+         count(CASE WHEN doc_id IS NULL THEN 1 END) AS nokey,
+         count(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL
+                     AND lang IS NOT NULL AND source IS NOT NULL
+                     AND n_chars IS NOT NULL THEN 1 END) AS complete
+  FROM {_ingest_tsv_read_sql()}
+)
+SELECT total AS n_rows, (total - ok)::BIGINT AS n_corrupt,
+       nokey::BIGINT AS n_missing_key, complete::BIGINT AS n_complete,
+       round((total - ok) * 1.0 / total, 6) AS corrupt_rate
+FROM raw, clean
 """,
         "q_warc_scan": f"""
 SELECT warc_file, record_id, warc_type, target_uri, content_length,

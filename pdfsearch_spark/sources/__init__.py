@@ -7,12 +7,14 @@ included), WARC archives (ISO 28500 — the Common Crawl container), and
 WET (the extracted-plain-text WARC variant a text corpus starts from).
 """
 
+from pdfsearch_spark.sources.delimited import read_docs_delimited
 from pdfsearch_spark.sources.jsonl import DOCS_SCHEMA, read_docs_jsonl
 from pdfsearch_spark.sources.warc import read_warc, warc_bytes
 from pdfsearch_spark.sources.wet import read_wet, wet_bytes
 
 __all__ = [
     "DOCS_SCHEMA",
+    "read_docs_delimited",
     "read_docs_jsonl",
     "read_warc",
     "read_wet",

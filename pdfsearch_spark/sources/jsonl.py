@@ -66,13 +66,25 @@ def read_docs_jsonl(
 def corrupt_rate(
     df_with_corrupt: DataFrame, key_col: str = "doc_id"
 ) -> DataFrame:
-    """(n_rows, n_corrupt, n_missing_key, corrupt_rate) over a
+    """(n_rows, n_corrupt, n_missing_key, n_complete, corrupt_rate) over a
     keep_corrupt=True read — one aggregate, the ingest-health metrics a
     pipeline alerts on. n_missing_key counts parsed rows without a primary
-    key (schema-drift symptom); it also keeps a data column in the plan,
-    which Spark requires — a query referencing ONLY the corrupt column of a
-    raw JSON scan is rejected (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    key (schema-drift symptom); n_complete counts rows with EVERY data
+    column populated.
+
+    n_complete is also load-bearing for correctness, not just a metric:
+    PERMISSIVE corrupt detection is column-pruning-dependent — the CSV
+    parser validates only the columns the plan requests, so an aggregate
+    reading just (corrupt, key) silently misses wrong-column-count lines
+    (observed: 12 of 24 corrupt lines flagged). Referencing every data
+    column here forces the full-row parse that makes n_corrupt complete.
+    (A query referencing ONLY the corrupt column is rejected outright:
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN.)
     """
+    data_cols = [c for c in df_with_corrupt.columns if c != CORRUPT_COL]
+    all_present = F.col(CORRUPT_COL).isNull() & F.forall(
+        F.array(*[F.col(c).isNotNull() for c in data_cols]), lambda x: x
+    )
     return df_with_corrupt.agg(
         F.count("*").alias("n_rows"),
         F.count(CORRUPT_COL).alias("n_corrupt"),
@@ -82,6 +94,7 @@ def corrupt_rate(
                 F.when(F.col(CORRUPT_COL).isNull(), F.col(key_col))
             )
         ).alias("n_missing_key"),
+        F.count(F.when(all_present, 1)).alias("n_complete"),
         F.round(
             F.count(CORRUPT_COL) / F.count("*"), 6
         ).alias("corrupt_rate"),

@@ -54,6 +54,7 @@ def test_jsonl_corrupt_lines_are_metrics_not_exceptions(spark, tmp_path):
     stats = corrupt_rate(with_c).collect()[0]
     assert stats["n_rows"] == 5 and stats["n_corrupt"] == 2
     assert stats["n_missing_key"] == 1
+    assert stats["n_complete"] == 2  # GOOD[0] and GOOD[1] have every field
     assert abs(stats["corrupt_rate"] - 0.4) < 1e-9
     bad = [r["_corrupt_record"] for r in with_c.collect() if r["_corrupt_record"]]
     assert "{truncated" in bad and "not json at all" in bad
@@ -187,3 +188,30 @@ def test_parse_warc_truncated_and_corrupt_headers():
     # a gzip-magic prefix on garbage is a corrupt archive, not a crash
     assert parse_warc(b"\x1f\x8b" + b"\x00" * 50, "t") == []
     assert parse_warc(gzip.compress(good)[:20], "t") == []  # truncated .gz
+
+
+# -------------------------------------------------------------- delimited
+
+
+def test_tsv_corrupt_classes_and_full_row_parse(spark, tmp_path):
+    """All corrupt classes flagged — including wrong-column-count lines,
+    which PERMISSIVE only validates when the plan reads every column (the
+    pruning trap corrupt_rate's n_complete metric forces past)."""
+    from pdfsearch_spark.sources.delimited import read_docs_delimited
+
+    lines = [
+        "1\thello world\ten\tsrc0\t11",
+        "notanumber\tbad id\ten\tsrc2\t5",
+        "3\ttoo few",
+        "4\ttoo\tmany\tcols\there\textra\tcol",
+        "\tno key\tde\tsrc3\t6",
+    ]
+    p = tmp_path / "docs.tsv"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    clean = read_docs_delimited(spark, str(tmp_path)).collect()
+    assert sorted(r["doc_id"] for r in clean if r["doc_id"]) == [1]
+    stats = corrupt_rate(
+        read_docs_delimited(spark, str(tmp_path), keep_corrupt=True)
+    ).collect()[0]
+    assert stats["n_rows"] == 5 and stats["n_corrupt"] == 3
+    assert stats["n_missing_key"] == 1 and stats["n_complete"] == 1
