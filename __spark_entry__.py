@@ -771,6 +771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), REBALANCE_TARGETS
         )
 
+    def q_corpus_report(spark, sf):
+        from pdfsearch_spark.pipeline.corpusstats import corpus_report
+
+        return corpus_report(_docs_par(spark, sf))
+
     def q_tfidf_topk(spark, sf):
         # corpus-relative keyword extraction: df/idf over the whole corpus,
         # broadcast back, per-doc window top-k on the rounded score
@@ -1101,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_decontaminate": q_decontaminate,
         "q_rebalance_mix": q_rebalance_mix,
+        "q_corpus_report": q_corpus_report,
         "q_tfidf_topk": q_tfidf_topk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_length_profile": q_length_profile,
@@ -1991,7 +1997,7 @@ bands AS (
 )
 """
 
-    return {
+    oracles = {
         "q_topk_sort": """
 SELECT event_id, user_id, round(value, 4) AS value
 FROM events ORDER BY round(value, 4) DESC, event_id ASC LIMIT 200
@@ -2605,6 +2611,34 @@ GROUP BY 1, 2
         "q_fts_phrase": _fts_phrase_sql(),
         "q_fts_prefix": _fts_prefix_sql(),
     }
+    # composed from the already-oracled per-doc SQLs, same joins as the op
+    oracles["q_corpus_report"] = f"""
+WITH fp AS (SELECT doc_id, fp_md5 FROM ({oracles["q_fingerprints"]}) t),
+lg AS (SELECT doc_id, lang_guess FROM ({oracles["q_lang_id"]}) t),
+q AS (SELECT doc_id, quality_score, n_chars_norm
+      FROM ({oracles["q_quality"]}) t),
+tk AS (SELECT doc_id, n_ws_tokens FROM ({oracles["q_token_counts"]}) t),
+pd AS (
+  SELECT fp.doc_id, fp_md5, lang_guess, quality_score, n_chars_norm,
+         n_ws_tokens
+  FROM fp JOIN lg USING (doc_id) JOIN q USING (doc_id)
+  JOIN tk USING (doc_id)
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT fp_md5) AS n_unique,
+       round(1.0 - count(DISTINCT fp_md5) * 1.0 / count(*), 6) AS dup_rate,
+       count(CASE WHEN lang_guess = 'en' THEN 1 END) AS n_en,
+       count(CASE WHEN lang_guess = 'fr' THEN 1 END) AS n_fr,
+       count(CASE WHEN lang_guess = 'de' THEN 1 END) AS n_de,
+       count(CASE WHEN lang_guess = 'es' THEN 1 END) AS n_es,
+       count(CASE WHEN lang_guess = 'und' THEN 1 END) AS n_und,
+       round(avg(quality_score), 6) AS mean_quality,
+       sum(n_ws_tokens)::BIGINT AS total_ws_tokens,
+       round(avg(n_chars_norm), 6) AS mean_chars,
+       round(quantile_cont(n_chars_norm, 0.5), 6) AS p50_chars
+FROM pd
+"""
+    return oracles
 
 
 def _lang_id_sql() -> str:

@@ -170,3 +170,55 @@ def length_profile(
             "max_chars",
         )
     )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """One-row corpus KPI dashboard — the at-a-glance report a curation run
+    logs after every corpus build: volume, exact-duplicate rate, language
+    mix, mean quality, token totals, length profile.
+
+    (n_docs, n_unique, dup_rate, n_en, n_fr, n_de, n_es, n_und,
+    mean_quality, total_ws_tokens, mean_chars, p50_chars)
+
+    A composition of the tested per-doc primitives (fingerprints, lang_id,
+    quality_scores, token_counts — the corpus_clean pattern: equi-joins on
+    doc_id, which AQE plans as co-partitioned exchanges), finished by ONE
+    single-row aggregate with map-side partials; the only corpus-wide state
+    is the distinct-fingerprint count.
+    """
+    from pdfsearch_spark.pipeline.textstats import (
+        fingerprints,
+        lang_id,
+        quality_scores,
+        token_counts,
+    )
+
+    fp = fingerprints(docs).select("doc_id", "fp_md5")
+    lg = lang_id(docs).select("doc_id", "lang_guess")
+    q = quality_scores(docs).select("doc_id", "quality_score", "n_chars_norm")
+    tk = token_counts(docs).select("doc_id", "n_ws_tokens")
+    per_doc = fp.join(lg, "doc_id").join(q, "doc_id").join(tk, "doc_id")
+
+    def lang_count(lang: str):
+        return F.count(F.when(F.col("lang_guess") == lang, 1)).alias(
+            f"n_{lang}"
+        )
+
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp_md5").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp_md5") / F.count("*"), 6
+        ).alias("dup_rate"),
+        lang_count("en"),
+        lang_count("fr"),
+        lang_count("de"),
+        lang_count("es"),
+        lang_count("und"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        F.sum("n_ws_tokens").cast("long").alias("total_ws_tokens"),
+        F.round(F.avg("n_chars_norm"), 6).alias("mean_chars"),
+        F.round(
+            F.expr("percentile(n_chars_norm, 0.5)"), 6
+        ).alias("p50_chars"),
+    )
