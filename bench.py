@@ -61,6 +61,8 @@ PIPELINE_QUERIES = [
     "q_split_assign",
     "q_decontaminate",
     "q_rebalance_mix",
+    "q_corpus_report",
+    "q_chunk_documents",
     "q_tfidf_topk",
     "q_unigram_logprob",
     "q_length_profile",
