@@ -43,11 +43,21 @@ def global_offsets(
     fixed-width value ranges, so the result is a pure function of the data
     — value clustering only costs balance, never correctness; a production
     variant on pathologically sparse keys would swap in persisted range
-    boundaries, leaving phases 2-3 unchanged."""
+    boundaries, leaving phases 2-3 unchanged.
+
+    Bucketing happens in DOUBLE space: hash-valued keys (xxhash64 ids) span
+    the full signed-64-bit range, where `key - min` overflows BIGINT under
+    ANSI mode. The double path cannot overflow, and precision loss is
+    harmless — int→double is monotone, so buckets stay order-contiguous
+    (boundary placement only affects balance) and the exact order_col still
+    sorts within each bucket."""
     mn, mx = df.agg(F.min(order_col), F.max(order_col)).first()
-    width = max(1, math.ceil((int(mx) - int(mn) + 1) / n_buckets))
+    width = float(max(1.0, math.ceil((float(mx) - float(mn)) / n_buckets)))
     b = df.withColumn(
-        "_b", F.floor((F.col(order_col) - F.lit(int(mn))) / width).cast("long")
+        "_b",
+        F.floor(
+            (F.col(order_col).cast("double") - F.lit(float(mn))) / width
+        ).cast("long"),
     )
     w_local = (
         Window.partitionBy("_b")

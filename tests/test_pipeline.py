@@ -1010,6 +1010,9 @@ def test_global_offsets_matches_single_window(spark):
 
     rnd = random.Random(7)
     ids = rnd.sample(range(10**9), 400) + list(range(500, 700))  # clustered tail
+    # full signed-64-bit hash ids: `key - min` overflows BIGINT, which the
+    # double-space bucketing must dodge (order must still be exact)
+    ids += [rnd.randrange(-(2**63), 2**63) for _ in range(200)]
     rows = [(i, rnd.randrange(1, 50)) for i in set(ids)]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
     got = {
