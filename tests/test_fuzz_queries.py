@@ -17,7 +17,9 @@ scripts/dev_fuzz_queries.py and scripts/dev_fuzz_queries_batch.py):
            ancestor + a nomatch-capable sibling; engine keeps the
            specification-consistent sum, FTS5 drops a contribution; match
            SETS always agree)
-  total: 25200 queries, 0 engine bugs; the 37 score-only diffs in the ten
+  total: 25400 queries (25,200 batch-path + a 200-query per-query sweep
+  with byte-exact snippet diffing, seed 20260901, 200/200 rank-identical),
+  0 engine bugs; the 37 score-only diffs in the ten
   final round-2 sweeps (seeds 20260818..20260827) were each verified
   per-doc: match sets identical and FTS5 credits LESS contribution in
   every differing doc — the documented OR-branch-drop direction
