@@ -1632,12 +1632,14 @@ def _urlops_fixture() -> str:
     return path
 
 
-def _urlops_norm_sql() -> str:
+def _urlops_norm_sql(path: str | None = None) -> str:
     """DuckDB re-derivation of url_normalize (RE2 'g' flag where Spark
-    replaces all; \\1 replacement syntax where Spark uses $1)."""
+    replaces all; \\1 replacement syntax where Spark uses $1). `path` is a
+    (doc_id, url, n_chars) parquet; defaults to the driver fixture — tests
+    pass their own randomized corpora for cross-engine parity sweeps."""
     from pdfsearch_spark.pipeline.urlops import _SUFFIX_ALT
 
-    path = _urlops_fixture()
+    path = path or _urlops_fixture()
     auth = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
     return f"""
 WITH raw AS (

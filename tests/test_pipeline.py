@@ -1194,3 +1194,59 @@ def test_chunk_documents_property_vs_naive(spark):
         for s0, n0, _ in exp:
             covered.update(range(s0, s0 + n0))
         assert covered == set(range(len(ws)))
+
+
+def test_url_normalize_cross_engine_parity_random(spark, tmp_path):
+    """500 seeded adversarial URLs: the Spark normalizer and the DuckDB
+    oracle SQL must agree exactly — the regex-common-subset claim, tested
+    beyond the driver fixture (multiple #/?, userinfo, empty/odd schemes,
+    stacked tracking params, ports on scheme-less strings...)."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import _urlops_norm_sql
+    from pdfsearch_spark.pipeline.urlops import url_normalize
+
+    rnd = random.Random(20260901)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", "Ht1+x.y", ""]
+    hosts = ["Example.COM", "news.co.uk", "a.b.c.shop.com.au", "localhost",
+             "x", "", "user:pw@Host.ORG", "192.168.0.1"]
+    ports = ["", ":80", ":443", ":8080", ":x"]
+    paths = ["", "/", "/A/B", "//double", "/p?inner"]
+    queries = ["", "?a=1", "?utm_a=1&utm_b=2&c=3", "?fbclid=x", "??",
+               "?a=1&&b=2", "?utm_only=1"]
+    frags = ["", "#f", "#a#b", "#"]
+    urls = []
+    for i in range(500):
+        s = rnd.choice(schemes)
+        u = (s + "://" if s else "") + rnd.choice(hosts) + rnd.choice(ports)
+        u += rnd.choice(paths) + rnd.choice(queries) + rnd.choice(frags)
+        urls.append(u)
+    urls += [None, "", "https://", "://", "#only", "?only"]
+    p = str(tmp_path / "urls.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(urls)), pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "n_chars": pa.array([0] * len(urls), pa.int64()),
+        }),
+        p,
+    )
+    df = spark.read.parquet(p)
+    got = {
+        r["doc_id"]: (r["url_norm"], r["host"], r["apex_domain"])
+        for r in url_normalize(df).collect()
+    }
+    exp = {
+        r[0]: (r[2], r[3], r[4])
+        for r in duckdb.sql(
+            f"SELECT doc_id, n_chars, url_norm, host, apex_domain "
+            f"FROM ({_urlops_norm_sql(p)})"
+        ).fetchall()
+    }
+    assert len(got) == len(urls)
+    mismatches = {k: (got[k], exp[k]) for k in got if got[k] != exp[k]}
+    assert not mismatches, dict(list(mismatches.items())[:5])
