@@ -10,17 +10,17 @@ tie-sort) against the reference engine reconstruction.
 Cumulative differential tally across rounds (this file + the dev sweeps
 scripts/dev_fuzz_queries.py and scripts/dev_fuzz_queries_batch.py):
   round 1: 1200 queries, 1199 rank-identical, 1 documented FTS5 artifact
-  round 2: 24000 queries (seeds 777/888/20260818..20260827, batch path),
-           0 hard failures, 42 score-multiset diffs — all matching the
+  round 2: 26000 queries (seeds 777/888/20260818..20260828, batch path),
+           0 hard failures, 46 score-multiset diffs — all matching the
            documented FTS5 iterator-state artifact family
            (tests/test_anchor_artifact.py: OR group under AND with OR/NOT
            ancestor + a nomatch-capable sibling; engine keeps the
            specification-consistent sum, FTS5 drops a contribution; match
            SETS always agree)
-  total: 25400 queries (25,200 batch-path + a 200-query per-query sweep
+  total: 27400 queries (27,200 batch-path + a 200-query per-query sweep
   with byte-exact snippet diffing, seed 20260901, 200/200 rank-identical),
-  0 engine bugs; the 37 score-only diffs in the ten
-  final round-2 sweeps (seeds 20260818..20260827) were each verified
+  0 engine bugs; the 41 score-only diffs in the eleven
+  final round-2 sweeps (seeds 20260818..20260828) were each verified
   per-doc: match sets identical and FTS5 credits LESS contribution in
   every differing doc — the documented OR-branch-drop direction
   (tests/test_anchor_artifact.py; the 20260823 diff is the same family at
