@@ -1573,7 +1573,7 @@ GROUP BY e.doc_id
 """
 
 
-_URLOPS_DIR = "/tmp/spark_entry_urlops_v1"  # version-keyed
+_URLOPS_DIR = "/tmp/spark_entry_urlops_v2"  # version-keyed
 _URLOPS_N = 240
 
 
@@ -1599,10 +1599,16 @@ def _urlops_fixture() -> str:
         "mirror-site.net", "Data.AC.UK", "localhost",
     ]
     ports = ["", ":80", ":443", ":8080"]
-    paths = ["/", "/Path/Is/Kept", "/x", "", "/deep/a/b"]
+    # '/gclid=1' path segment: tracking names in PATH text must survive
+    paths = ["/", "/Path/Is/Kept", "/x", "", "/deep/a/b", "/gclid=1"]
     queries = [
         "", "?a=1", "?utm_source=tw", "?a=1&utm_campaign=x&b=2",
         "?fbclid=abc&q=9", "?utm_a=1&utm_b=2", "?q=UPPER",
+        # adversarial: legitimate params whose names merely CONTAIN a
+        # tracking token — the boundary-anchored strip must keep them
+        "?notgclid=5", "?myfbclid=x&b=2",
+        # consecutive tracking params sandwiched between real ones
+        "?a=1&utm_b=2&utm_c=3&d=4",
     ]
     frags = ["", "#Frag", "#x"]
     ids, urls, chars = [], [], []
@@ -1610,11 +1616,16 @@ def _urlops_fixture() -> str:
         h = hashlib.md5(f"url-{i}".encode()).digest()
         url = (
             schemes[h[0] % 4] + "://" + subs[h[1] % 5] + domains[h[2] % 7]
-            + ports[h[3] % 4] + paths[h[4] % 5] + queries[h[5] % 7]
+            + ports[h[3] % 4] + paths[h[4] % 6] + queries[h[5] % 10]
             + frags[h[6] % 3]
         )
         if i % 19 == 4:
             url = "no-scheme.example.com/path?utm_x=1"  # scheme-less
+        if i % 23 == 7:
+            # slash-less URL whose AUTHORITY contains a tracking token
+            # ('&'/'=' are legal authority bytes) — exercises the
+            # host-path cross-engine agreement on degenerate hosts
+            url = "https://tracker-host.example&gclid=1"
         ids.append(4000 + i)
         urls.append(url)
         chars.append(50 + h[7] * 13)
@@ -1658,7 +1669,8 @@ s3 AS (SELECT doc_id, n_chars,
        FROM s2),
 s4 AS (SELECT doc_id, n_chars,
          regexp_replace(u,
-           '(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&#]*&?', '', 'g')
+           '([?&])(?:(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&#]*(?:&|$))+',
+           '\\1', 'g')
            AS u
        FROM s3),
 s5 AS (SELECT doc_id, n_chars,
@@ -1764,10 +1776,13 @@ def _linkgraph_fixture() -> tuple[str, int]:
 
 
 def _lg_host_of_sql(x: str) -> str:
-    """DuckDB host-of-canonical-URL expression. Only the steps that can
-    touch the authority prefix (fragment strip, lowercase scheme+authority,
-    default-port strip) — the query-param steps of url_normalize can never
-    alter text before the first '/', so the host is identical."""
+    """DuckDB host-of-canonical-URL expression: ALL url_normalize steps
+    (fragment strip, lowercase scheme+authority, default-port strip,
+    tracking-param strip, separator tidy), then the host extract. The
+    tracking steps are included because '&' and '=' are legal in an
+    authority ('https://x&gclid=1' has no '/'), so they CAN alter text
+    before the first '/' — mirroring the full chain keeps the two engines
+    byte-identical on such degenerate hosts."""
     auth = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
     u1 = f"regexp_replace({x}, '#.*$', '')"
     pre = f"regexp_extract({u1}, '{auth}', 1)"
@@ -1777,7 +1792,15 @@ def _lg_host_of_sql(x: str) -> str:
         f" '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2'),"
         f" '^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2')"
     )
-    return f"regexp_extract({u3}, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1)"
+    u4 = (
+        f"regexp_replace({u3}, '([?&])(?:(?:utm_[a-zA-Z0-9_]+|fbclid|gclid"
+        f"|msclkid)=[^&#]*(?:&|$))+', '\\1', 'g')"
+    )
+    u5 = (
+        f"regexp_replace(regexp_replace({u4}, '\\?&', '?', 'g'),"
+        f" '[?&]$', '')"
+    )
+    return f"regexp_extract({u5}, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1)"
 
 
 def _lg_edges_sql(path: str) -> str:

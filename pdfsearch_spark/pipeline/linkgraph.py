@@ -92,6 +92,10 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # a crawl slice with no qualifying hrefs: empty (node, rank) frame,
+        # not a ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     base = round((1.0 - damping) / n, 8)
     out_w = edges.groupBy(src_col).agg(
         F.sum(F.col(weight_col).cast("double")).alias("_wout")

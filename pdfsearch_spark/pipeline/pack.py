@@ -52,6 +52,9 @@ def global_offsets(
     (boundary placement only affects balance) and the exact order_col still
     sorts within each bucket."""
     mn, mx = df.agg(F.min(order_col), F.max(order_col)).first()
+    if mn is None:
+        # empty corpus: pass the empty frame through with the column added
+        return df.withColumn("offset", F.lit(0).cast("long"))
     width = float(max(1.0, math.ceil((float(mx) - float(mn)) / n_buckets)))
     b = df.withColumn(
         "_b",

@@ -26,7 +26,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # scheme://host[:port] — the case-insensitive prefix of a URL
 _AUTH_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
-_TRACK_RE = "(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&#]*&?"
+# A run of tracking params anchored to a real separator. The leading [?&]
+# boundary (kept via $1) stops substring hits on legitimate names
+# ('?notgclid=5', '?myfbclid=x') and on path text ('/gclid=1'); the
+# one-or-more run with a consumed inter-param '&' strips consecutive
+# tracking params in a single pass WITHOUT ever synthesizing a '&&'
+# (so no separator-collapse step that could touch a literal '&&' in a
+# path, where '&' is legal).
+_TRACK_RE = (
+    "([?&])(?:(?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&#]*(?:&|$))+"
+)
 
 # Multi-label public suffixes the apex heuristic recognizes. A real crawl
 # ships the full public-suffix list as a table; this embedded subset keeps
@@ -50,7 +59,7 @@ def url_normalize_expr(url: Column) -> Column:
     )
     u = F.regexp_replace(u, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
     u = F.regexp_replace(u, "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
-    u = F.regexp_replace(u, _TRACK_RE, "")
+    u = F.regexp_replace(u, _TRACK_RE, "$1")
     u = F.regexp_replace(u, "\\?&", "?")
     return F.regexp_replace(u, "[?&]$", "")
 

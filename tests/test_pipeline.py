@@ -885,6 +885,30 @@ def test_url_normalize_cases(spark):
         ("no-scheme.example.com/path", "no-scheme.example.com/path",
          "", ""),
         (None, "", "", ""),
+        # Boundary anchoring: tracking tokens as SUBSTRINGS of legitimate
+        # param names must survive (ADVICE r2: unanchored regex turned
+        # '?notgclid=5' into '?not' and '?myfbclid=x&b=2' into '?myb=2')
+        ("https://example.com/p?notgclid=5",
+         "https://example.com/p?notgclid=5", "example.com", "example.com"),
+        ("https://example.com/p?myfbclid=x&b=2",
+         "https://example.com/p?myfbclid=x&b=2",
+         "example.com", "example.com"),
+        # tracking names in PATH text must survive ('&' and '=' are legal
+        # path bytes; there is no preceding [?&] separator)
+        ("https://example.com/gclid=1",
+         "https://example.com/gclid=1", "example.com", "example.com"),
+        # consecutive tracking params between real ones — single-pass run
+        # strip, no '&&' residue
+        ("https://example.com/p?a=1&utm_b=2&utm_c=3&d=4",
+         "https://example.com/p?a=1&d=4", "example.com", "example.com"),
+        # a literal '&&' the input already had is preserved, not collapsed
+        ("https://example.com/a&&b?x=1",
+         "https://example.com/a&&b?x=1", "example.com", "example.com"),
+        # slash-less URL whose authority contains a tracking token: the
+        # strip fires inside the authority (documented degenerate case)
+        ("https://tracker-host.example&gclid=1",
+         "https://tracker-host.example",
+         "tracker-host.example", "tracker-host.example"),
     ]
     df = spark.createDataFrame(
         [(i, c[0]) for i, c in enumerate(cases)], "doc_id long, url string"
@@ -1033,6 +1057,34 @@ def test_global_offsets_matches_single_window(spark):
         for r in global_offsets(df, n_buckets=16).collect()
     }
     assert again == got
+
+
+def test_global_offsets_and_pack_empty_input(spark):
+    """Empty corpus passes through as an empty frame with the columns added
+    (ADVICE r2: agg(min,max).first() yields (None, None) and float(None)
+    used to raise TypeError)."""
+    from pdfsearch_spark.pipeline.pack import global_offsets, pack_sequences
+
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    out = global_offsets(df)
+    assert out.columns == ["doc_id", "n_tokens", "offset"]
+    assert out.count() == 0
+    packed = pack_sequences(df)
+    assert packed.count() == 0
+    assert {"offset", "seq_id", "seq_pos"} <= set(packed.columns)
+
+
+def test_pagerank_empty_edges(spark):
+    """A crawl slice with no qualifying hrefs returns an empty (node, rank)
+    frame (ADVICE r2: nodes.count() == 0 used to ZeroDivisionError)."""
+    from pdfsearch_spark.pipeline.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [], "src_host string, dst_host string, weight long"
+    )
+    out = pagerank(edges)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
 
 
 def test_pack_sequences_boundaries(spark):
@@ -1213,11 +1265,13 @@ def test_url_normalize_cross_engine_parity_random(spark, tmp_path):
     rnd = random.Random(20260901)
     schemes = ["http", "HTTP", "https", "HTTPS", "ftp", "Ht1+x.y", ""]
     hosts = ["Example.COM", "news.co.uk", "a.b.c.shop.com.au", "localhost",
-             "x", "", "user:pw@Host.ORG", "192.168.0.1"]
+             "x", "", "user:pw@Host.ORG", "192.168.0.1",
+             "tracker.example&gclid=1"]  # '&'/'=' legal in authority
     ports = ["", ":80", ":443", ":8080", ":x"]
-    paths = ["", "/", "/A/B", "//double", "/p?inner"]
+    paths = ["", "/", "/A/B", "//double", "/p?inner", "/gclid=1", "/a&&b"]
     queries = ["", "?a=1", "?utm_a=1&utm_b=2&c=3", "?fbclid=x", "??",
-               "?a=1&&b=2", "?utm_only=1"]
+               "?a=1&&b=2", "?utm_only=1", "?notgclid=5", "?myfbclid=x&b=2",
+               "?a=1&utm_b=2&utm_c=3&d=4", "?gclid="]
     frags = ["", "#f", "#a#b", "#"]
     urls = []
     for i in range(500):
