@@ -318,18 +318,54 @@ def simhash_neardup_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = SHINGLE_K, threshold: float = 0.5
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    threshold: float = 0.5,
+    max_docs_per_shingle: int | None = 10_000,
 ) -> DataFrame:
     """EXACT Jaccard over k-word shingle sets, pairs >= threshold.
 
     (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp. Validation-scale
     only — the shingle self-join is quadratic in docs-per-shingle; at corpus
-    scale use minhash_lsh_pairs for candidates and this only on candidates.
+    scale use ngram_jaccard_verify (LSH candidates + exact verification,
+    linear in pair count). ENFORCED: if any shingle appears in more than
+    ``max_docs_per_shingle`` documents the self-join would expand beyond
+    cap² rows for that key alone, so the op raises ValueError naming the
+    hot shingle and pointing at the scale path, instead of silently
+    launching a job that cannot finish. Pass ``max_docs_per_shingle=None``
+    to skip the check (trusted small inputs only). The check is one extra
+    partial-agged count over the shingle frame — acceptable for a
+    validation-scope op.
     """
     sh = (
         docs.select("doc_id", F.explode(F.expr(_shingle_expr(k))).alias("shingle"))
         .distinct()
     )
+    if max_docs_per_shingle is not None:
+        # cache the shingle frame so enforcement costs one count-agg, not a
+        # second explode+distinct pass (the guard collect materializes it;
+        # the returned plan reuses the cache — validation-scope op, the
+        # persist is left to LRU eviction)
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") > max_docs_per_shingle)
+            .orderBy(F.desc("n_docs"))
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"ngram_jaccard_pairs: shingle {hot[0]['shingle']!r} occurs in "
+                f"{hot[0]['n_docs']} docs (> max_docs_per_shingle="
+                f"{max_docs_per_shingle}); the exact self-join is quadratic in "
+                f"docs-per-shingle — use ngram_jaccard_verify (LSH candidates "
+                f"+ exact verification) at this scale, or raise the cap "
+                f"explicitly."
+            )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -468,6 +468,25 @@ def test_ngram_jaccard_verify_matches_exact_on_candidates(spark):
     assert (0, 3) in verify and verify[(0, 3)] == 1.0
 
 
+def test_ngram_jaccard_quadratic_guard_fires(spark):
+    """The exact self-join's docs-per-shingle cap is ENFORCED: a shingle
+    shared by more docs than the cap raises (pointing at the scale path)
+    instead of launching the quadratic join; the same input passes with the
+    cap lifted, and ngram_jaccard_verify handles it at any cap."""
+    import pytest
+
+    from pdfsearch_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="ngram_jaccard_verify"):
+        dedup.ngram_jaccard_pairs(docs, max_docs_per_shingle=5)
+    assert dedup.ngram_jaccard_pairs(docs, max_docs_per_shingle=None).count() == 28
+    assert dedup.ngram_jaccard_pairs(docs, max_docs_per_shingle=8).count() == 28
+
+
 def test_simhash_neardup_banding_lossless(spark):
     """The 4-chunk band-rotation blocking must recover EXACTLY the pairs a
     brute-force all-pairs hamming<=3 scan finds (pigeonhole: 3 flipped bits
