@@ -1141,7 +1141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- FTS demo
 
-_FTS_INDEX_DIR = "/tmp/spark_entry_fts_index_v4"  # version-keyed: format bumps rebuild
+from pdfsearch_spark.index_build import INDEX_FORMAT as _IDX_FMT
+
+# version-keyed to the on-disk format so a format bump rebuilds the cache
+_FTS_INDEX_DIR = f"/tmp/spark_entry_fts_index_v{_IDX_FMT}"
 _FTS_N = 200
 
 

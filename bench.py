@@ -152,19 +152,37 @@ def run_refresh_bench(
     t0 = time.time()
     refresh_index(spark, pages, index_dir)
     times["refresh_append_10pct"] = round(time.time() - t0, 3)
-    eng = SearchEngine(spark, index_dir)  # new engine: new index snapshot
-    for q in FTS_QUERIES[:3]:
-        t0 = time.time()
-        eng.search(q, k=10, with_snippets=False).collect()
-        times[f"fts_post_refresh:{q}"] = round(time.time() - t0, 3)
+
+    def _timed_queries(prefix: str) -> list[float]:
+        # best-of-2 per query: pass 1 pays one-off costs (parquet file
+        # listing of the new table dirs, dictionary-cache fill) that are
+        # not steady-state latency — the r2 draw where post-compact looked
+        # 5-10x slower than pre-compact was exactly this artifact
+        eng = SearchEngine(spark, index_dir)  # new engine: new snapshot
+        best: dict[str, float] = {}
+        for _pass in range(2):
+            for q in FTS_QUERIES[:3]:
+                t0 = time.time()
+                eng.search(q, k=10, with_snippets=False).collect()
+                dt = round(time.time() - t0, 3)
+                best[q] = min(best.get(q, dt), dt)
+        for q, dt in best.items():
+            times[f"{prefix}:{q}"] = dt
+        return sorted(best.values())
+
+    pre = _timed_queries("fts_post_refresh")
     t0 = time.time()
-    compact_index(spark, index_dir)
+    res = compact_index(spark, index_dir)
     times["compact"] = round(time.time() - t0, 3)
-    eng = SearchEngine(spark, index_dir)
-    for q in FTS_QUERIES[:3]:
-        t0 = time.time()
-        eng.search(q, k=10, with_snippets=False).collect()
-        times[f"fts_post_compact:{q}"] = round(time.time() - t0, 3)
+    times["compact_segments_before"] = res.get("segments_before", 0)
+    times["compact_segments_after"] = res.get("segments_after", 0)
+    times["compact_files_before"] = res.get("postings_files_before", 0)
+    times["compact_files_after"] = res.get("postings_files_after", 0)
+    post = _timed_queries("fts_post_compact")
+    # the maintenance op must pay for itself: median post-compact latency
+    # <= median post-refresh latency (1.0 = break-even; >1 = compaction won)
+    med_pre, med_post = pre[len(pre) // 2], post[len(post) // 2]
+    times["compact_query_speedup"] = round(med_pre / med_post, 3) if med_post else 0.0
     return times
 
 

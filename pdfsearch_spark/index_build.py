@@ -62,7 +62,21 @@ SHARD_DEFAULT = 32
 
 # On-disk index format version (bumped on any postings/stats schema change);
 # readers refuse a mismatched index instead of misreading it.
-INDEX_FORMAT = 4
+INDEX_FORMAT = 5
+
+
+def table_dir(out_dir: str, tbl: str, epoch: int = 0) -> str:
+    """Physical dir of a logical index table at a given epoch.
+
+    Epoch 0 is the unversioned layout a fresh build writes (``<out>/<tbl>``);
+    compaction commits each full-table rewrite as epoch N+1
+    (``<out>/<tbl>.v<N+1>``) and flips the epoch recorded in ``stats`` — a
+    versioned-root commit that makes the swap crash-safe on plain parquet
+    (the Iceberg-snapshot analog): readers resolve table paths through
+    stats, so at every instant they see either the old complete epoch or
+    the new complete epoch, never a half-swapped directory. Old epochs are
+    GC'd only after the commit."""
+    return os.path.join(out_dir, tbl if epoch == 0 else f"{tbl}.v{epoch}")
 
 TERMROW_SCHEMA = StructType(
     [
@@ -367,6 +381,7 @@ def build_index(
         # shard/segment partitions behind.
         for sub in ("postings", "doc_text", "documents"):
             _hdfs_rm(spark, os.path.join(out_dir, sub))
+            _gc_epoch_dirs(spark, out_dir, sub, keep_epoch=0)
     # ONE full-text shuffle for the whole build: extraction runs narrow at
     # the source's parallelism, then rows move once, clustered by shard.
     # Because doc_id determines shard, url-duplicates land in the same
@@ -548,6 +563,43 @@ def _hdfs_rm(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _gc_epoch_dirs(
+    spark: SparkSession, out_dir: str, tbl: str, keep_epoch: int
+) -> None:
+    """Delete every versioned dir of `tbl` except the kept epoch, plus the
+    unversioned base dir when the kept epoch isn't 0. Sweeps ALL stale
+    epochs (not just keep_epoch-1), so orphans from a crash between commit
+    and GC are collected by the next cycle."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(out_dir).getFileSystem(sc._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath(os.path.join(out_dir, f"{tbl}.v*")))
+    for st in statuses or []:
+        p = st.getPath()
+        if p.getName() != f"{tbl}.v{keep_epoch}":
+            fs.delete(p, True)
+    if keep_epoch != 0:
+        base = jpath(os.path.join(out_dir, tbl))
+        if fs.exists(base):
+            fs.delete(base, True)
+
+
+def _count_parquet_files(spark: SparkSession, path: str) -> int:
+    """Number of .parquet data files under `path` (recursive) — the
+    small-files metric compaction exists to improve."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0
+    it = fs.listFiles(jpath, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
 def _write_stats(
     spark: SparkSession,
     out_dir: str,
@@ -557,6 +609,7 @@ def _write_stats(
     n_shards: int,
     n_segments: int,
     watermark,
+    epoch: int = 0,
 ) -> None:
     spark.createDataFrame(
         [
@@ -568,11 +621,12 @@ def _write_stats(
                 int(n_segments),
                 int(INDEX_FORMAT),
                 watermark,
+                int(epoch),
             )
         ],
         schema=(
             "n_docs long, avgdl double, total_tokens long, n_shards int, "
-            "n_segments int, format int, watermark timestamp"
+            "n_segments int, format int, watermark timestamp, epoch int"
         ),
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
 
@@ -638,6 +692,7 @@ def refresh_index(
     n_shards = int(st["n_shards"])
     seg = int(st["n_segments"])
     watermark = st["watermark"]
+    epoch = int(st["epoch"])
 
     new_pages = pages
     if use_watermark and watermark is not None:
@@ -646,7 +701,7 @@ def refresh_index(
     # committed docs only (segment < seg): a crashed attempt's orphan
     # documents partition must not mask its docs out of the redo batch
     old_ids = (
-        spark.read.parquet(os.path.join(out_dir, "documents"))
+        spark.read.parquet(table_dir(out_dir, "documents", epoch))
         .filter(F.col("segment") < seg)
         .select("doc_id")
     )
@@ -680,7 +735,7 @@ def refresh_index(
         schema=POSTING_SCHEMA,
     )
     postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
-        os.path.join(out_dir, "postings")
+        table_dir(out_dir, "postings", epoch)
     )
 
     # 2) doc_text + documents partitions for the segment (docs are already
@@ -689,14 +744,14 @@ def refresh_index(
         "segment", F.lit(seg)
     ).write.partitionBy(
         "segment", "shard"
-    ).mode("overwrite").parquet(os.path.join(out_dir, "doc_text"))
+    ).mode("overwrite").parquet(table_dir(out_dir, "doc_text", epoch))
     docs.drop("text", "part").withColumn("segment", F.lit(seg)).write.partitionBy(
         "segment", "shard"
-    ).mode("overwrite").parquet(os.path.join(out_dir, "documents"))
+    ).mode("overwrite").parquet(table_dir(out_dir, "documents", epoch))
 
     # 3) global term stats recomputed from the postings table (column-pruned
     #    scan of (term, df, cf) — blobs untouched)
-    post_df = spark.read.parquet(os.path.join(out_dir, "postings"))
+    post_df = spark.read.parquet(table_dir(out_dir, "postings", epoch))
     post_df.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
@@ -704,7 +759,7 @@ def refresh_index(
     # 4) per-shard lineage + metrics for the manifest
     lineage = {
         r["shard"]: r
-        for r in spark.read.parquet(os.path.join(out_dir, "documents"))
+        for r in spark.read.parquet(table_dir(out_dir, "documents", epoch))
         .filter(F.col("segment") == seg)
         .groupBy("shard")
         .agg(
@@ -750,7 +805,10 @@ def refresh_index(
     new_wm = agg["new_wm"]
     if watermark is not None and (new_wm is None or new_wm < watermark):
         new_wm = watermark
-    _write_stats(spark, out_dir, n_docs2, avgdl2, total2, n_shards, seg + 1, new_wm)
+    _write_stats(
+        spark, out_dir, n_docs2, avgdl2, total2, n_shards, seg + 1, new_wm,
+        epoch=epoch,
+    )
     elapsed = time.time() - t0
     return {
         "appended_docs": n_new,
@@ -792,18 +850,37 @@ def decoded_term_rows(postings: DataFrame) -> DataFrame:
 def compact_index(spark: SparkSession, out_dir: str) -> dict:
     """Merge all segments back into one (segment 0), re-encoding blocks
     against the current avgdl — the Lucene merge / Iceberg rewriteDataFiles
-    analog. Offline maintenance: the swap of table dirs is not atomic on
-    plain parquet (on Iceberg it is one RewriteFiles commit); run it while
-    no readers are active.
+    analog.
+
+    Crash safety (versioned-root commit, the plain-parquet stand-in for an
+    Iceberg RewriteFiles snapshot): the merged tables are written into the
+    NEXT epoch's dirs (``<tbl>.v<N+1>``, see table_dir) while every reader
+    keeps resolving the CURRENT epoch through ``stats``; the single small
+    ``stats`` rewrite — carrying the new epoch — is the commit point,
+    after which old epochs are GC'd. A crash at any moment before the
+    commit leaves the old epoch complete and visible (a rerun overwrites
+    the orphan next-epoch dirs); a crash between commit and GC leaves
+    stale old-epoch dirs that the next compaction or fresh build sweeps.
+
+    Returns segment/file counts before and after so callers (and the
+    bench) can verify the rewrite paid for itself.
     """
     t0 = time.time()
     st = spark.read.parquet(os.path.join(out_dir, "stats")).collect()[0]
     if int(st["n_segments"]) <= 1:
         return {"compacted": False, "elapsed_sec": time.time() - t0}
     n_shards, avgdl = int(st["n_shards"]), float(st["avgdl"])
+    epoch = int(st["epoch"])
+    new_epoch = epoch + 1
+    segments_before = int(st["n_segments"])
+    files_before = _count_parquet_files(
+        spark, table_dir(out_dir, "postings", epoch)
+    )
 
-    # decode → merge → re-encode per shard, into side dirs first
-    rows = decoded_term_rows(spark.read.parquet(os.path.join(out_dir, "postings")))
+    # decode → merge → re-encode per shard, into the next epoch's dirs
+    rows = decoded_term_rows(
+        spark.read.parquet(table_dir(out_dir, "postings", epoch))
+    )
     merged = rows.groupBy("shard").applyInPandas(
         encode_shard_postings(avgdl, segment=0), schema=POSTING_SCHEMA
     )
@@ -812,33 +889,22 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     spark.conf.set(coalesce_key, "false")
     try:
         merged.write.partitionBy("segment", "shard").mode("overwrite").parquet(
-            os.path.join(out_dir, "postings.compact")
+            table_dir(out_dir, "postings", new_epoch)
         )
     finally:
         spark.conf.set(coalesce_key, prev)
-    for tbl, parts in (
-        ("doc_text", ("segment", "shard")),
-        ("documents", ("segment", "shard")),
-    ):
-        df = spark.read.parquet(os.path.join(out_dir, tbl)).withColumn(
+    for tbl in ("doc_text", "documents"):
+        df = spark.read.parquet(table_dir(out_dir, tbl, epoch)).withColumn(
             "segment", F.lit(0)
         )
         if tbl == "doc_text":
             df = df.repartition(n_shards, F.col("shard"))
-        df.write.partitionBy(*parts).mode("overwrite").parquet(
-            os.path.join(out_dir, f"{tbl}.compact")
+        df.write.partitionBy("segment", "shard").mode("overwrite").parquet(
+            table_dir(out_dir, tbl, new_epoch)
         )
 
-    # swap (non-atomic on plain parquet; see docstring)
-    sc = spark.sparkContext
-    jpath = sc._jvm.org.apache.hadoop.fs.Path
-    fs = jpath(out_dir).getFileSystem(sc._jsc.hadoopConfiguration())
-    for tbl in ("postings", "doc_text", "documents"):
-        old = jpath(os.path.join(out_dir, tbl))
-        new = jpath(os.path.join(out_dir, f"{tbl}.compact"))
-        fs.delete(old, True)
-        fs.rename(new, old)
-
+    # COMMIT: flip the epoch in stats. Until this write lands, readers
+    # resolve the old epoch's complete dirs.
     _write_stats(
         spark,
         out_dir,
@@ -848,5 +914,23 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         n_shards,
         1,
         st["watermark"],
+        epoch=new_epoch,
     )
-    return {"compacted": True, "elapsed_sec": time.time() - t0}
+
+    # GC old epochs (post-commit; failures here leave garbage, never a
+    # broken index — swept again by the next cycle)
+    for tbl in ("postings", "doc_text", "documents"):
+        _gc_epoch_dirs(spark, out_dir, tbl, keep_epoch=new_epoch)
+
+    files_after = _count_parquet_files(
+        spark, table_dir(out_dir, "postings", new_epoch)
+    )
+    return {
+        "compacted": True,
+        "elapsed_sec": time.time() - t0,
+        "epoch": new_epoch,
+        "segments_before": segments_before,
+        "segments_after": 1,
+        "postings_files_before": files_before,
+        "postings_files_after": files_after,
+    }

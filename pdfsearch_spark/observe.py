@@ -25,7 +25,14 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     partial-agged aggregation over a scan that prunes to the stats columns
     (the blobs contribute only their lengths, via parquet column reads —
     nothing is decoded)."""
-    p = spark.read.parquet(os.path.join(index_dir, "postings"))
+    from .index_build import table_dir
+
+    try:
+        st = spark.read.parquet(os.path.join(index_dir, "stats")).collect()[0]
+        epoch = int(st.asDict().get("epoch", 0) or 0)
+    except Exception:
+        epoch = 0  # bare postings dir without a stats table
+    p = spark.read.parquet(table_dir(index_dir, "postings", epoch))
     return p.groupBy("segment", "shard").agg(
         F.count("*").alias("n_terms"),
         F.sum("df").alias("n_postings"),

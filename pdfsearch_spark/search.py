@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .analyzer import tokenize, unicode61_tokens
-from .index_build import INDEX_FORMAT, shard_of
+from .index_build import INDEX_FORMAT, shard_of, table_dir
 from .query.parser import Node, Phrase, QuerySyntaxError, parse_query
 from .query.scorer import K1, B, bm25_scores, idf_of, score_shard, wand_shard_topk
 
@@ -50,7 +50,13 @@ class SearchEngine:
         self.n_docs = st["n_docs"]
         self.avgdl = st["avgdl"]
         self.n_shards = st["n_shards"]
-        self._postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        # table paths resolve through the stats epoch (compaction's
+        # versioned-root commit): this engine is bound to one complete
+        # epoch snapshot for its lifetime
+        self.epoch = int(st["epoch"])
+        self._postings = spark.read.parquet(
+            table_dir(index_dir, "postings", self.epoch)
+        )
         # The term dictionary is every query's first hop (df lookup + prefix
         # expansion). Cache it cluster-memory-resident: ~24 B/term it is the
         # one index structure a search engine always keeps hot (even at web
@@ -59,8 +65,12 @@ class SearchEngine:
         self._term_stats = spark.read.parquet(
             os.path.join(index_dir, "term_stats")
         ).persist()
-        self._documents = spark.read.parquet(os.path.join(index_dir, "documents"))
-        self._doc_text = spark.read.parquet(os.path.join(index_dir, "doc_text"))
+        self._documents = spark.read.parquet(
+            table_dir(index_dir, "documents", self.epoch)
+        )
+        self._doc_text = spark.read.parquet(
+            table_dir(index_dir, "doc_text", self.epoch)
+        )
         # Driver-side df cache. An engine is bound to one index snapshot
         # (Spark caches the parquet file listing at first action; a refresh
         # needs a new SearchEngine), so term→df results are immutable for

@@ -134,14 +134,79 @@ def test_refresh_after_compact(spark, oracle, refreshed):
     _sh.rmtree(side, ignore_errors=True)
 
 
+def test_kill_during_compact_never_half_swaps(spark, oracle, refreshed):
+    """Crash-safety of the versioned-root commit: a compaction killed at ANY
+    point before the stats flip leaves readers on the old epoch's complete
+    dirs with identical results; the rerun completes, flips the epoch, and
+    GCs the old dirs."""
+    import os
+    import shutil as _sh
+
+    from pdfsearch_spark import index_build
+    from pdfsearch_spark.index_build import table_dir
+
+    side = REFRESH_INDEX_DIR + "_kill"
+    _sh.rmtree(side, ignore_errors=True)
+    _sh.copytree(REFRESH_INDEX_DIR, side)
+
+    def results():
+        eng = SearchEngine(spark, side)
+        out = {}
+        for q in SHAPES:
+            rows = eng.search(q, k=50, with_snippets=False).collect()
+            out[q] = sorted((r["doc_id"], round(r["score"], 9)) for r in rows)
+        return out
+
+    before = results()
+
+    # kill the job at the commit point: all data dirs for the new epoch are
+    # written, stats is not — the worst-case crash instant
+    real_write_stats = index_build._write_stats
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash before stats commit")
+
+    index_build._write_stats = _boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            compact_index(spark, side)
+    finally:
+        index_build._write_stats = real_write_stats
+
+    # readers resolve the old epoch: index is fully usable, results identical
+    st = spark.read.parquet(side + "/stats").collect()[0]
+    assert int(st["epoch"]) == 0 and int(st["n_segments"]) == 2
+    assert results() == before
+    # the orphan next-epoch dirs may exist; they are invisible to readers
+    assert os.path.exists(table_dir(side, "postings", 0))
+
+    # rerun to completion: epoch flips, old dirs GC'd, results identical
+    res = compact_index(spark, side)
+    assert res["compacted"] is True and res["epoch"] == 1
+    st2 = spark.read.parquet(side + "/stats").collect()[0]
+    assert int(st2["epoch"]) == 1 and int(st2["n_segments"]) == 1
+    assert os.path.exists(table_dir(side, "postings", 1))
+    assert not os.path.exists(os.path.join(side, "postings"))
+    assert not os.path.exists(os.path.join(side, "doc_text"))
+    assert not os.path.exists(os.path.join(side, "documents"))
+    assert results() == before
+    _sh.rmtree(side, ignore_errors=True)
+
+
 def test_compaction_preserves_results(spark, oracle, refreshed):
+    from pdfsearch_spark.index_build import table_dir
+
     res = compact_index(spark, REFRESH_INDEX_DIR)
     assert res["compacted"] is True
     st = _stats(spark)
     assert st["n_segments"] == 1
     assert st["n_docs"] == N_DOCS
+    # the rewrite must demonstrably shrink the index: one segment and fewer
+    # data files than the segmented layout it replaced
+    assert res["segments_before"] == 2 and res["segments_after"] == 1
+    assert res["postings_files_after"] < res["postings_files_before"]
     segs = (
-        spark.read.parquet(REFRESH_INDEX_DIR + "/postings")
+        spark.read.parquet(table_dir(REFRESH_INDEX_DIR, "postings", res["epoch"]))
         .select("segment")
         .distinct()
         .collect()
