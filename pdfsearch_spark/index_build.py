@@ -147,41 +147,99 @@ def shard_of_array(doc_ids: np.ndarray, n_shards: int) -> np.ndarray:
     return ((hi * n + ((lo * n) >> np.uint64(32))) >> np.uint64(32)).astype(np.int32)
 
 
-def extract_documents(pages: DataFrame, n_shards: int) -> DataFrame:
-    """Stage 1 (narrow): html → byte-identical text, doc ids, doc lengths.
+def ids_and_shards(pages: DataFrame, n_shards: int) -> DataFrame:
+    """Adds (doc_id, shard) from ``url`` via a scalar pandas UDF whose Arrow
+    boundary carries ONLY the url column (≈60 B/row) and a 12 B/row struct
+    back — the html payload never crosses into Python here. This keeps the
+    pre-shuffle side of the build effectively JVM-only, so the one
+    text-moving exchange can start streaming while extraction (the heavy
+    Python stage) runs AFTER the shuffle, fused with dedup
+    (extract_documents_sharded): two fewer full-text Arrow crossings per
+    row than the former extract → shuffle → dedup pipeline."""
+    from pyspark.sql.functions import pandas_udf
 
-    One Arrow pass does extraction + tokenization-for-dl; no shuffle.
-    Prefers extracting from ``html``; the nullable pre-extracted ``text``
-    column is a cross-check only (FIXTURES.md §1).
-    """
-
-    def batches(it):
-        from .analyzer import token_count
-        from .extract import extract_text
+    @pandas_udf("doc_id long, shard int")
+    def _ids(urls: pd.Series) -> pd.DataFrame:
         from .fnv import fnv1_64_signed
 
-        for pdf in it:
-            texts = [extract_text(h) for h in pdf["html"]]
-            doc_ids = np.fromiter(
-                (fnv1_64_signed(u) for u in pdf["url"]), dtype=np.int64, count=len(pdf)
-            )
-            urls = pdf["url"].tolist()
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "url": urls,
-                    "host": [u.split("/")[2] if "://" in u else "" for u in urls],
-                    "base_name": [u.rsplit("/", 1)[-1] for u in urls],
-                    "warc_ts": pdf["warc_ts"],
-                    "lang": pdf["lang"],
-                    "dl": [token_count(t) for t in texts],
-                    "shard": shard_of_array(doc_ids, n_shards),
-                    "part": 0,
-                    "text": texts,
-                }
-            )
+        doc_ids = np.fromiter(
+            (fnv1_64_signed(u) for u in urls), dtype=np.int64, count=len(urls)
+        )
+        return pd.DataFrame(
+            {"doc_id": doc_ids, "shard": shard_of_array(doc_ids, n_shards)}
+        )
 
-    return pages.mapInPandas(batches, schema=DOCROW_SCHEMA)
+    cols = pages.columns
+    return (
+        pages.withColumn("_ids", _ids(F.col("url")))
+        .select(*cols, F.col("_ids.doc_id"), F.col("_ids.shard"))
+    )
+
+
+def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(url, warc_ts, html, lang, doc_id, shard) batch → DOCROW batch:
+    html → byte-identical text (the input_hint per-url contract), doc
+    lengths, display fields. Prefers extracting from ``html``; the nullable
+    pre-extracted ``text`` column is a cross-check only (FIXTURES.md §1)."""
+    from .analyzer import token_count
+    from .extract import extract_text
+
+    texts = [extract_text(h) for h in pdf["html"]]
+    urls = pdf["url"].tolist()
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(np.int64),
+            "url": urls,
+            "host": [u.split("/")[2] if "://" in u else "" for u in urls],
+            "base_name": [u.rsplit("/", 1)[-1] for u in urls],
+            "warc_ts": pdf["warc_ts"],
+            "lang": pdf["lang"],
+            "dl": [token_count(t) for t in texts],
+            "shard": pdf["shard"].to_numpy(np.int32),
+            "part": 0,
+            "text": texts,
+        }
+    )
+
+
+def extract_documents_sharded(pages_with_ids: DataFrame) -> DataFrame:
+    """ONE Arrow pass over shard-clustered raw pages: partition-local dedup
+    by doc_id, THEN extraction — duplicates are never extracted, and the
+    former separate dedup round-trip of full text rows is gone.
+
+    Valid only AFTER a hash repartition on ``shard`` (any partition count:
+    equal shard values co-locate): doc_id → shard is a pure function, so
+    every duplicate is in the same partition and a per-partition seen-set
+    gives global dedup without a by-doc_id shuffle. The seen-set is O(docs
+    per partition) ints. Which copy of a duplicated url survives is
+    arbitrary, matching the reference's INSERT .. DO NOTHING semantics
+    (database/database.go:152-176)."""
+
+    def fn(it):
+        seen: set[int] = set()
+        for pdf in it:
+            m = (~pdf["doc_id"].duplicated()) & (~pdf["doc_id"].isin(seen))
+            out = pdf[m]
+            if len(out) == 0:
+                continue
+            seen.update(out["doc_id"].tolist())
+            yield _extract_batch(out)
+
+    return pages_with_ids.mapInPandas(fn, schema=DOCROW_SCHEMA)
+
+
+def extract_documents(pages: DataFrame, n_shards: int) -> DataFrame:
+    """Narrow (no shuffle, no dedup) ids+extract composition — kept as the
+    standalone extraction API; the build/refresh hot paths instead shuffle
+    raw pages first and use extract_documents_sharded so extraction lands
+    AFTER the exchange, fused with dedup."""
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf):
+                yield _extract_batch(pdf)
+
+    return ids_and_shards(pages, n_shards).mapInPandas(fn, schema=DOCROW_SCHEMA)
 
 
 class _ShardMetricsParam(AccumulatorParam):
@@ -382,14 +440,18 @@ def build_index(
         for sub in ("postings", "doc_text", "documents"):
             _hdfs_rm(spark, os.path.join(out_dir, sub))
             _gc_epoch_dirs(spark, out_dir, sub, keep_epoch=0)
-    # ONE full-text shuffle for the whole build: extraction runs narrow at
-    # the source's parallelism, then rows move once, clustered by shard.
-    # Because doc_id determines shard, url-duplicates land in the same
-    # partition and dedup is partition-local — no dropDuplicates shuffle by
-    # doc_id, and the doc_text write below needs no repartition either (each
-    # task already holds exactly one shard → one file per shard partition).
-    docs = _dedup_within_shard(
-        extract_documents(pages, n_shards).repartition(n_shards, F.col("shard"))
+    # ONE full-payload shuffle for the whole build, and it moves RAW pages:
+    # the map side computes only (doc_id, shard) from url (a column-pruned
+    # pandas UDF — html never enters Python pre-shuffle), rows move once
+    # clustered by shard, and the heavy Python stage (dedup + extraction)
+    # runs AFTER the exchange in a single Arrow pass. Because doc_id
+    # determines shard, url-duplicates land in the same partition and dedup
+    # is partition-local — no dropDuplicates shuffle by doc_id, duplicates
+    # are never even extracted, and the doc_text write below needs no
+    # repartition either (each task already holds exactly one shard → one
+    # file per shard partition).
+    docs = extract_documents_sharded(
+        ids_and_shards(pages, n_shards).repartition(n_shards, F.col("shard"))
     )
     # One extraction+shuffle pass feeds documents, doc_text, stats AND the
     # term-row shuffle below; persist to avoid re-extracting per consumer.
@@ -530,29 +592,6 @@ def build_index(
         "postings_bytes": int(sum(v[3] for v in sm.values())),
         "positions_bytes": int(sum(v[4] for v in sm.values())),
     }
-
-
-def _dedup_within_shard(docs: DataFrame) -> DataFrame:
-    """Drop url-duplicates (same doc_id) within shard-clustered partitions.
-
-    Valid only AFTER a repartition on ``shard``: doc_id → shard is a pure
-    function, so every duplicate is in the same partition and a per-partition
-    seen-set gives global dedup without a by-doc_id shuffle. The seen-set is
-    O(docs per shard-partition); size ``n_shards`` so a shard's ids fit an
-    executor (at 10^12 docs and 1M-doc partitions that is ~60 MB — or swap in
-    a sort-within-partition dedup). Which copy of a duplicated url survives
-    is arbitrary, matching the reference's INSERT .. DO NOTHING semantics
-    (database/database.go:152-176)."""
-
-    def fn(it):
-        seen: set[int] = set()
-        for pdf in it:
-            m = (~pdf["doc_id"].duplicated()) & (~pdf["doc_id"].isin(seen))
-            out = pdf[m]
-            seen.update(out["doc_id"].tolist())
-            yield out
-
-    return docs.mapInPandas(fn, schema=DOCROW_SCHEMA)
 
 
 def _hdfs_rm(spark: SparkSession, path: str) -> None:
@@ -697,7 +736,7 @@ def refresh_index(
     new_pages = pages
     if use_watermark and watermark is not None:
         new_pages = pages.filter(F.col("warc_ts") > F.lit(watermark))
-    docs = extract_documents(new_pages, n_shards).dropDuplicates(["doc_id"])
+    pre = ids_and_shards(new_pages, n_shards)
     # committed docs only (segment < seg): a crashed attempt's orphan
     # documents partition must not mask its docs out of the redo batch
     old_ids = (
@@ -705,15 +744,16 @@ def refresh_index(
         .filter(F.col("segment") < seg)
         .select("doc_id")
     )
-    docs = docs.join(old_ids, "doc_id", "left_anti")
-    # Shard-cluster the segment's docs (same single-exchange layout as the
-    # fresh build; n_spread > n_shards just spreads hash buckets so small
-    # refresh batches still use the cluster's parallelism)
+    pre = pre.join(old_ids, "doc_id", "left_anti")
+    # Shard-cluster the segment's raw pages (same single-exchange layout as
+    # the fresh build): batch-internal duplicates co-locate with their
+    # shard, so extract_documents_sharded's fused dedup+extract replaces
+    # the former dropDuplicates exchange entirely.
     n_spread = max(n_shards, spark.sparkContext.defaultParallelism * 2)
     # serialized cache for the same text-heavy-rows reason as build_index
-    docs = docs.repartition(n_spread, F.col("shard")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    docs = extract_documents_sharded(
+        pre.repartition(n_spread, F.col("shard"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     agg = docs.agg(
         F.count("*").alias("n_new"),
         F.sum("dl").alias("new_tokens"),

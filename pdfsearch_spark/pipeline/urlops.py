@@ -80,6 +80,111 @@ def apex_domain_expr(host: Column) -> Column:
     return F.when(picked == "", host).otherwise(picked)
 
 
+def load_psl_rules(spark, path: str) -> DataFrame:
+    """Parse a public-suffix-list file (publicsuffix.org format) into a
+    rules DataFrame (rule string, is_exception boolean, n_labels int):
+    comment ('//') and blank lines dropped, '!' exception prefix split off,
+    '*.'-wildcard rules kept verbatim. Small (~10k rows) — always the
+    broadcast side."""
+    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("v"))
+    rules = lines.filter(
+        (F.col("v") != "") & (~F.col("v").startswith("//"))
+    ).select(
+        F.regexp_replace(F.col("v"), "^!", "").alias("rule"),
+        F.col("v").startswith("!").alias("is_exception"),
+    )
+    return rules.withColumn("n_labels", F.size(F.split(F.col("rule"), "\\.")))
+
+
+def apex_domain_psl(
+    df: DataFrame, rules: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Adds ``apex_domain`` resolved against a FULL public-suffix list — the
+    production path for real crawls, replacing apex_domain_expr's embedded
+    16-suffix subset (which stays the dependency-free, oracle-checkable
+    default).
+
+    Implements the publicsuffix.org algorithm relationally (plain,
+    '*.'-wildcard, and '!'-exception rules; the implicit '*' rule as the
+    1-label fallback): each DISTINCT host explodes into its ≤2·L candidate
+    lookup keys (every label-suffix for plain/exception rules, and
+    '*.'+the-one-shorter-suffix for wildcard rules), joins the broadcast
+    rules table, and the prevailing rule — any exception first, else the
+    longest match — fixes the public-suffix label count; the apex is one
+    label more.
+
+    Scale shape: hosts are deduplicated first (web corpora have ~10^6-10^8
+    hosts for 10^12 docs), so the explode ×2L and both small aggregations
+    run over host cardinality, not corpus cardinality; the rules side is
+    always broadcast, and the final (host, apex_domain) map joins back on
+    the host key.
+    """
+    hosts = df.select(F.col(host_col).alias("_h")).distinct()
+    with_l = hosts.withColumn(
+        "_labels", F.split(F.col("_h"), "\\.")
+    ).withColumn("_L", F.size(F.col("_labels")))
+    # candidate i (0-based) = the suffix labels[i:], which matches either a
+    # plain/exception rule equal to it, or a wildcard rule '*.'+labels[i+1:]
+    # (the '*' consuming label i); both match _n = L - i labels
+    keyed = (
+        with_l.select(
+            "_h", "_L", "_labels",
+            F.posexplode(F.col("_labels")).alias("_i", "_lab"),
+        )
+        .select(
+            "_h",
+            (F.col("_L") - F.col("_i")).alias("_n"),
+            F.explode(
+                F.array(
+                    F.array_join(
+                        F.slice("_labels", F.col("_i") + 1, F.col("_L")), "."
+                    ),
+                    F.when(
+                        F.col("_i") + 1 < F.col("_L"),
+                        F.concat(
+                            F.lit("*."),
+                            F.array_join(
+                                F.slice(
+                                    "_labels", F.col("_i") + 2, F.col("_L")
+                                ),
+                                ".",
+                            ),
+                        ),
+                    ),
+                )
+            ).alias("_key"),
+        )
+        .filter(F.col("_key").isNotNull())
+    )
+    matched = keyed.join(
+        F.broadcast(rules), keyed["_key"] == rules["rule"], "inner"
+    ).select("_h", "_n", "is_exception")
+    prevailing = matched.groupBy("_h").agg(
+        F.max(F.when(F.col("is_exception"), F.col("_n") - 1)).alias("_exc"),
+        F.max(F.when(~F.col("is_exception"), F.col("_n"))).alias("_best"),
+    )
+    resolved = (
+        with_l.join(prevailing, "_h", "left")
+        .withColumn(
+            "_ps", F.coalesce(F.col("_exc"), F.col("_best"), F.lit(1))
+        )
+        .select(
+            "_h",
+            F.when(F.col("_L") > F.col("_ps"), F.array_join(
+                F.slice(
+                    F.col("_labels"),
+                    F.col("_L") - F.col("_ps"),
+                    F.col("_ps") + 1,
+                ),
+                ".",
+            )).otherwise(F.col("_h")).alias("apex_domain"),
+        )
+    )
+    return df.join(
+        resolved, df[host_col] == resolved["_h"], "left"
+    ).drop("_h")
+
+
 def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
     """(original columns..., url_norm, host, apex_domain) — one codegen
     projection, no shuffle; runs at scan speed and column-prunes."""

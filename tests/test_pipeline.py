@@ -940,6 +940,60 @@ def test_url_normalize_cases(spark):
         assert r["apex_domain"] == apex, (i, r["apex_domain"], apex)
 
 
+def test_apex_domain_psl_reference_vectors(spark, tmp_path):
+    """Full-PSL resolution (plain + '*.'-wildcard + '!'-exception rules)
+    against the official publicsuffix.org test vectors for those rule
+    shapes. Hosts that ARE entirely a public suffix resolve to themselves
+    (the library's documented fallback where the reference algorithm says
+    'undefined'), matching apex_domain_expr's behavior."""
+    from pdfsearch_spark.pipeline.urlops import apex_domain_psl, load_psl_rules
+
+    psl = tmp_path / "psl.dat"
+    psl.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"
+        "uk\n"
+        "co.uk\n"
+        "jp\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "// ===END ICANN DOMAINS===\n"
+    )
+    rules = load_psl_rules(spark, str(psl))
+    got_rules = {
+        (r["rule"], r["is_exception"], r["n_labels"]) for r in rules.collect()
+    }
+    assert ("*.ck", False, 2) in got_rules
+    assert ("www.ck", True, 2) in got_rules
+    assert ("co.uk", False, 2) in got_rules
+
+    # (host, expected registrable) — wildcard/exception rows are the
+    # publicsuffix.org test-data vectors; ps-only hosts expect themselves
+    cases = [
+        ("example.com", "example.com"),
+        ("www.example.com", "example.com"),
+        ("example.co.uk", "example.co.uk"),
+        ("sub.example.co.uk", "example.co.uk"),
+        ("co.uk", "co.uk"),                      # ps-only → fallback
+        ("test.jp", "test.jp"),
+        ("www.test.jp", "test.jp"),
+        ("ck", "ck"),                            # ps-only (implicit *)
+        ("test.ck", "test.ck"),                  # ps-only (*.ck)
+        ("b.test.ck", "b.test.ck"),
+        ("a.b.test.ck", "b.test.ck"),
+        ("www.ck", "www.ck"),                    # !www.ck exception
+        ("www.www.ck", "www.ck"),
+        ("example.unknown", "example.unknown"),  # implicit * rule
+        ("deep.example.unknown", "example.unknown"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "doc_id long, host string"
+    )
+    got = {r["host"]: r["apex_domain"] for r in apex_domain_psl(df, rules).collect()}
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)
+
+
 def test_domain_stats_counts(spark):
     from pdfsearch_spark.pipeline.urlops import domain_stats
 
