@@ -160,17 +160,21 @@ class _Parser:
     # but NEAR(...) is a phrase-level atom and juxtaposes freely
     # ('NEAR(a b, 2) c' is legal).
     def parse_seq(self) -> Node:
-        was_group = self.peek()[0] == "lparen"
         node = self.parse_unit(primary=True)
+        was_group = self.last_was_group
         while True:
             kind, val = self.peek()
             if (
-                kind in ("word", "quoted", "caret", "colon", "minus")
+                kind in ("word", "quoted", "caret", "colon", "minus", "lbrace")
                 and not (kind == "word" and val in ("OR", "AND", "NOT"))
             ):
                 if was_group:
                     raise QuerySyntaxError(f"fts5: syntax error near {val!r}")
                 rhs = self.parse_unit(primary=False)
+                if self.last_was_group:
+                    # a colset-group on the right of a juxtaposition:
+                    # 'alpha text:(beta)' is an fts5 syntax error [probe]
+                    raise QuerySyntaxError('fts5: syntax error near "("')
                 node = Node("AND", [node, rhs])
             elif kind == "lparen":
                 raise QuerySyntaxError("fts5: syntax error near \"(\"")
@@ -178,17 +182,82 @@ class _Parser:
                 break
         return node
 
+    # set by parse_unit: True when the unit was a parenthesized group
+    # (bare or colset-prefixed) — groups cannot juxtapose on either side
+    last_was_group = False
+
+    def _try_colset(self):
+        """Consume a leading column-set ('col:', '-col:', '{..}:',
+        '-{..}:') if one starts at the cursor; return its restriction, or
+        _NO_COL with the cursor unmoved. Used by parse_unit to spot
+        colset-prefixed NEAR groups / parenthesized exprs [probe: FTS5
+        accepts 'text:NEAR(a b, 2)' and 'text:(a OR b)']."""
+        k, v = self.peek()
+        save = self.pos
+        if k == "minus":
+            self.next()
+            k2, v2 = self.peek()
+            if (
+                k2 == "word"
+                and self.pos + 1 < len(self.toks)
+                and self.toks[self.pos + 1][0] == "colon"
+            ):
+                self.next()
+                self.next()
+                return self._colset([v2], negated=True)
+            if k2 == "lbrace":
+                return self._braced_colset(negated=True)
+            self.pos = save
+            return _NO_COL
+        if (
+            k == "word"
+            and v not in ("AND", "OR", "NOT", "NEAR")
+            and self.pos + 1 < len(self.toks)
+            and self.toks[self.pos + 1][0] == "colon"
+        ):
+            self.next()
+            self.next()
+            return self._colset([v], negated=False)
+        if k == "lbrace":
+            return self._braced_colset(negated=False)
+        return _NO_COL
+
     def parse_unit(self, primary: bool) -> Node:
         kind, val = self.peek()
+        self.last_was_group = False
         if kind == "lparen":
             self.next()
             node = self.parse()
             k2, _ = self.next()
             if k2 != "rparen":
                 raise QuerySyntaxError("fts5: syntax error: expected ')'")
+            self.last_was_group = True
             return node
         if kind == "word" and val == "NEAR":
             return self.parse_near()
+        # colset-prefixed NEAR group or parenthesized expr: the restriction
+        # distributes over every phrase inside, INTERSECTING with any inner
+        # colset [probe: 'file_id:(text:alpha)' matches nothing]
+        save = self.pos
+        col = self._try_colset()
+        if col is not _NO_COL:
+            k2, v2 = self.peek()
+            if k2 == "lparen":
+                self.next()
+                node = self.parse()
+                k3, _ = self.next()
+                if k3 != "rparen":
+                    raise QuerySyntaxError("fts5: syntax error: expected ')'")
+                _apply_col(node, col)
+                self.last_was_group = True
+                return node
+            if k2 == "word" and v2 == "NEAR":
+                node = self.parse_near()
+                _apply_col(node, col)
+                return node
+            # plain colset phrase: rewind and let parse_phrase own it (it
+            # also enforces caret-after-colset ordering)
+            self.pos = save
         return Node("PHRASE", phrase=self.parse_phrase())
 
     def parse_near(self) -> Node:
@@ -215,7 +284,9 @@ class _Parser:
                 break
             if kind is None:
                 raise QuerySyntaxError("fts5: syntax error: unterminated NEAR")
-            children.append(Node("PHRASE", phrase=self.parse_phrase()))
+            children.append(
+                Node("PHRASE", phrase=self.parse_phrase(in_near=True))
+            )
         if not children:
             raise QuerySyntaxError("fts5: syntax error: empty NEAR")
         return Node("NEAR", children, near_n=near_n)
@@ -250,10 +321,14 @@ class _Parser:
             raise QuerySyntaxError("fts5: syntax error: empty column set")
         return self._colset(names, negated)
 
-    def parse_phrase(self) -> Phrase:
+    def parse_phrase(self, in_near: bool = False) -> Phrase:
         anchored = False
         col: str | None = None
         kind, val = self.peek()
+        if in_near and kind in ("caret", "minus", "lbrace"):
+            # NEAR members are plain phrases: no anchors, no column filters
+            # [probe: 'NEAR(^a b, 2)' and 'NEAR(text:a b, 2)' are errors]
+            raise QuerySyntaxError(f"fts5: syntax error near {val!r}")
         if kind == "minus":
             # '-col:' / '-{col ...}:' — negated column filter; a bare hyphen
             # ('covid-19') is the reference's "no such column" error
@@ -273,9 +348,18 @@ class _Parser:
             self.next()
             anchored = True
             kind, val = self.peek()
+            # a column filter may not FOLLOW the anchor [probe: '^text:a'
+            # errors near ':'; 'text:^a' is the legal order]
+            if (
+                kind == "word"
+                and self.pos + 1 < len(self.toks)
+                and self.toks[self.pos + 1][0] == "colon"
+            ) or kind == "lbrace":
+                raise QuerySyntaxError('fts5: syntax error near ":"')
         # column filter: word ':' ...   or   '{col col}:' ...
         if (
             col is None
+            and not in_near
             and kind == "word"
             and self.pos + 1 < len(self.toks)
             and self.toks[self.pos + 1][0] == "colon"
@@ -370,6 +454,28 @@ class _Parser:
         ph.index = len(self.phrases)
         self.phrases.append(ph)
         return ph
+
+
+_NO_COL = object()  # _try_colset sentinel: "no column set at the cursor"
+
+
+def _apply_col(node: Node, col: str | None) -> None:
+    """Distribute an outer column restriction over every phrase under
+    `node`, INTERSECTING with inner restrictions [probe:
+    'file_id:(text:alpha)' matches nothing — the sets intersect to ∅].
+    In the two-value lattice the evaluator consumes (text included /
+    'unindexed'), intersection is: anything ∩ unindexed = unindexed,
+    x ∩ text-included = x — so a text-including outer col is a no-op."""
+    if col is None:
+        return
+    if node.op == "PHRASE":
+        node.phrase.col = "unindexed"
+    elif node.op == "NEAR":
+        for c in node.children:
+            c.phrase.col = "unindexed"
+    else:
+        for c in node.children:
+            _apply_col(c, col)
 
 
 def _is_empty_phrase(node: Node) -> bool:

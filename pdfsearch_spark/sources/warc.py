@@ -101,6 +101,134 @@ def parse_warc(buf: bytes, name: str = "") -> list[tuple]:
     return rows
 
 
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def parse_warc_gz_range(
+    data: bytes, range_len: int, name: str = ""
+) -> list[tuple]:
+    """Parse the per-member-gzip WARC records whose MEMBER starts within
+    the first `range_len` bytes of `data` (`data` includes the tail read
+    past the range end so a member straddling the boundary completes).
+
+    Ownership rule: a member belongs to the range containing its first
+    compressed byte — the same convention Hadoop text splits use for
+    lines — so every member is parsed by exactly one range. Candidate
+    member starts are the gzip magic bytes, verified by decompressing one
+    member (zlib stops at member end; `unused_data` gives the next offset)
+    and requiring the output to begin with 'WARC/'; a false magic inside
+    compressed payload fails one of the two checks and is skipped. A
+    whole-file single-member archive verifies only at offset 0, so ranges
+    other than the first find nothing and the file degrades to one task —
+    automatically, with no layout flag."""
+    import zlib
+
+    rows: list[tuple] = []
+    i = 0
+    n = len(data)
+    while i < range_len:
+        # search window extends 2 bytes past the range end so a magic whose
+        # FIRST byte is in-range is found even when the 3-byte sequence
+        # straddles the boundary (ownership is by first byte)
+        j = data.find(_GZ_MAGIC, i, min(range_len + len(_GZ_MAGIC) - 1, n))
+        if j < 0 or j >= range_len:
+            break
+        d = zlib.decompressobj(31)
+        try:
+            out = d.decompress(data[j:])
+        except zlib.error:
+            i = j + 1
+            continue
+        if not d.eof or not out.startswith(b"WARC/"):
+            # truncated (member longer than the tail read — data loss,
+            # never job loss) or a false magic hit inside a member
+            i = j + 1
+            continue
+        rows.extend(parse_warc(out, name))
+        i = j + (n - j - len(d.unused_data))
+    return rows
+
+
+def read_warc_split(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    split_bytes: int = 128 << 20,
+    max_member_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Range-split WARC scan: multi-GB archives no longer need to fit one
+    task's memory. Files are carved into `split_bytes` ranges on the
+    driver (a file listing, no data reads); each task reads its
+    [start, end + max_member_bytes) byte window and parses exactly the
+    per-member-gzip records whose member starts inside [start, end)
+    (parse_warc_gz_range). `max_member_bytes` bounds the straddle read —
+    members longer than it are dropped as truncated (Common Crawl members
+    are single records, ~KBs-MBs).
+
+    Non-per-member layouts degrade safely to one task per file: a
+    whole-file gzip member only verifies at offset 0, and an uncompressed
+    file (no exact split points without trusting payload-embedded magic
+    bytes) is parsed entirely by the range owning offset 0.
+
+    Output rows are identical to read_warc's over the same files (tested),
+    in unspecified order."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    import os as _os
+
+    fs = jpath(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath(_os.path.join(path, glob)))
+    ranges = []
+    for st in statuses or []:
+        p = st.getPath().toString()
+        ln = int(st.getLen())
+        start = 0
+        while start < max(ln, 1):
+            ranges.append((p, start, min(start + split_bytes, ln), ln))
+            start += split_bytes
+            if ln == 0:
+                break
+    rdf = spark.createDataFrame(
+        ranges, "path string, start long, end long, file_len long"
+    ).repartition(max(len(ranges), 1))
+
+    mm = max_member_bytes
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "warc_file",
+            "record_id",
+            "warc_type",
+            "target_uri",
+            "content_length",
+            "payload",
+        ]
+        for pdf in batches:
+            for p, start, end, file_len in zip(
+                pdf["path"], pdf["start"], pdf["end"], pdf["file_len"]
+            ):
+                name = p.rsplit("/", 1)[-1]
+                local = p[5:] if p.startswith("file:") else p
+                start, end, file_len = int(start), int(end), int(file_len)
+                with open(local, "rb") as fh:
+                    head = fh.read(3)
+                    if head[:3] != _GZ_MAGIC:
+                        # uncompressed (or empty): whole-file fallback,
+                        # owned by the range containing offset 0
+                        if start != 0:
+                            continue
+                        fh.seek(0)
+                        rows = parse_warc(fh.read(), name)
+                    else:
+                        fh.seek(start)
+                        data = fh.read(min(end + mm, file_len) - start)
+                        rows = parse_warc_gz_range(data, end - start, name)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return rdf.mapInPandas(_parse, WARC_SCHEMA)
+
+
 def read_warc(
     spark: SparkSession, path: str, glob: str = "*.warc*"
 ) -> DataFrame:

@@ -53,7 +53,7 @@ def _gen_query(rng, vocab) -> str:
         return vocab[int(rng.integers(0, len(vocab)))]
 
     def atom(depth):
-        r = int(rng.integers(0, 14))
+        r = int(rng.integers(0, 18))
         if r <= 3:
             return term()
         if r == 4:
@@ -75,6 +75,33 @@ def _gen_query(rng, vocab) -> str:
             return f"{term()} + {term()}"
         if r == 12:
             return f'"{term()} {term()}"*'
+        # r3 additions: NEAR under NOT (both sides) and colset+prefix
+        # compositions (VERDICT r2 item 10)
+        if r == 13:
+            return (
+                f"{term()} NOT NEAR({term()} {term()}, "
+                f"{int(rng.integers(1, 8))})"
+            )
+        if r == 14:
+            return (
+                f"NEAR({term()} {term()}, {int(rng.integers(1, 8))}) "
+                f"NOT {term()}"
+            )
+        if r == 15:
+            return f"text:{term()[: int(rng.integers(3, 5))]}*"
+        if r == 16:
+            return f"-text:{term()[: int(rng.integers(3, 5))]}*"
+        if r == 17:
+            # colset over a NEAR group / parenthesized expr (r3 parser
+            # feature, probe-matched against FTS5)
+            form = int(rng.integers(0, 4))
+            if form == 0:
+                return f"text:NEAR({term()} {term()}, {int(rng.integers(1, 8))})"
+            if form == 1:
+                return f"-text:NEAR({term()} {term()}, {int(rng.integers(1, 8))})"
+            if form == 2:
+                return f"text:({term()} OR {term()})"
+            return f"-text:({term()} {term()})"
         return f"{term()} {term()}"
 
     n = int(rng.integers(1, 3))

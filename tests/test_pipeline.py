@@ -385,6 +385,66 @@ def test_decode_image_fake_tiles_and_zero_fills():
     assert img.dtype == np.uint8
 
 
+def _png_gray_bytes(arr) -> bytes:
+    """Minimal 8-bit grayscale PNG writer (pure stdlib) — a REAL codec
+    fixture without requiring any image library to create it."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_image_routing_and_fallback():
+    """decode_image: real Pillow decode when the optional lib exists and the
+    type declares an image; the deterministic fake in every other case
+    (absent lib, non-image type, undecodable bytes) — never job-fatal."""
+    import numpy as np
+    import pytest
+
+    from pdfsearch_spark.pipeline import multimodal as mm
+
+    arr = (np.arange(48, dtype=np.uint8) * 5).reshape(6, 8)
+    png = _png_gray_bytes(arr)
+
+    # non-image type always takes the fake path, lib or no lib
+    fake = mm.decode_image(png, "application/octet-stream")
+    assert fake.tolist() == mm.decode_image_fake(png).tolist()
+
+    if mm._image_lib() is None:
+        # this container: decode_media raises (documented), decode_image
+        # falls back to the fake even for a declared image
+        with pytest.raises(NotImplementedError):
+            mm.decode_media(png, "image/png")
+        assert (
+            mm.decode_image(png, "image/png").tolist()
+            == mm.decode_image_fake(png).tolist()
+        )
+    else:
+        # real decode: byte-exact round-trip of the grayscale PNG
+        out = mm.decode_media(png, "image/png")
+        assert out.tolist() == arr.tolist()
+        assert mm.decode_image(png, "image/png").tolist() == arr.tolist()
+        # garbage behind an image/* label: row-local fake, no raise
+        junk = mm.decode_image(b"\x89PNG not really", "image/png")
+        assert junk.shape == (mm.IMG_H, mm.IMG_W)
+
+
 def test_frame_sample_spark_matches_hashlib(spark):
     import hashlib
 

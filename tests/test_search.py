@@ -89,6 +89,54 @@ def test_empty_query_empty_result(engine):
     assert engine.search("   ", with_snippets=False).count() == 0
 
 
+# r3 grammar completion: column sets over NEAR groups and parenthesized
+# exprs (every form probe-verified against FTS5 in this session)
+COLSET_GRAMMAR_QUERIES = [
+    "text:NEAR(renal failure, 4)",
+    "-text:NEAR(renal failure, 4)",
+    "{text}:NEAR(renal failure, 4)",
+    "-{text}:NEAR(renal failure, 4)",
+    "file_id:NEAR(renal failure, 4)",
+    "text:(renal OR failure)",
+    "-text:(renal failure)",
+    "text:(NEAR(renal failure, 3))",
+    "file_id:(text:renal)",     # nested colsets INTERSECT -> matches nothing
+    "text:(renal*)",
+    "text:(^renal)",
+    "text:NEAR(renal failure, 2) hypertension",  # NEAR juxtaposes after
+    "renal NOT NEAR(renal failure, 3)",          # NEAR under NOT (rhs)
+    "NEAR(renal failure, 3) NOT hypertension",   # NEAR under NOT (lhs)
+]
+
+
+@pytest.mark.parametrize("q", COLSET_GRAMMAR_QUERIES, ids=lambda q: repr(q)[:40])
+def test_colset_groups_rank_identical(engine, oracle, q):
+    _assert_rank_identical(
+        _oracle_pairs(oracle, q, 200), _engine_pairs(engine, q, 200), q
+    )
+
+
+COLSET_GRAMMAR_ERRORS = [
+    "NEAR(text:renal failure, 4)",   # colset inside NEAR
+    "NEAR(^renal failure, 4)",       # anchor inside NEAR
+    "^text:renal",                   # anchor BEFORE colset (legal: text:^a)
+    "text:(renal) failure",          # colset-group cannot juxtapose (rhs)
+    "renal text:(failure)",          # ... or follow a phrase (lhs)
+    "text:(renal) NEAR(failure renal, 2)",
+    "text:()",
+    "text:(renal",
+    "bogus:NEAR(renal failure, 2)",
+]
+
+
+@pytest.mark.parametrize("q", COLSET_GRAMMAR_ERRORS, ids=lambda q: repr(q)[:40])
+def test_colset_group_errors_raise(engine, oracle, q):
+    with pytest.raises(sqlite3.OperationalError):
+        oracle.search(q)
+    with pytest.raises(QuerySyntaxError):
+        engine.search(q, with_snippets=False).collect()
+
+
 def test_book_filter(engine, oracle, corpus_pdf):
     """Intended Q6 semantics: restrict scoring to the given doc ids."""
     # pick docs that contain the head term so the filter bites

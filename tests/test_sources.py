@@ -116,6 +116,52 @@ def test_read_warc_spark_scan(spark, tmp_path):
     assert df.filter("warc_type = 'response'").count() == 3
 
 
+def test_parse_warc_gz_range_pure():
+    """Pure-function range semantics: every member is owned by exactly one
+    range (the one holding its first compressed byte), straddling members
+    complete via the tail, and the union over any split equals the
+    single-shot parse."""
+    from pdfsearch_spark.sources.warc import parse_warc_gz_range
+
+    members = [gzip.compress(warc_bytes([r])) for r in RECS]
+    gz = b"".join(members)
+    full = [r[1] for r in parse_warc(gz)]
+    # try every byte position as the split point of a 2-range split
+    for cut in range(1, len(gz)):
+        a = parse_warc_gz_range(gz[:cut] + gz[cut:], cut)  # range [0, cut)
+        b = parse_warc_gz_range(gz[cut:], len(gz) - cut)   # range [cut, end)
+        got = [r[1] for r in a] + [r[1] for r in b]
+        assert sorted(got) == sorted(full), cut
+    # a member longer than the tail window is dropped, not a crash
+    short = parse_warc_gz_range(gz[: len(members[0]) // 2], len(gz))
+    assert short == []
+
+
+def test_read_warc_split_matches_single_task(spark, tmp_path):
+    """A >2-member archive split across tasks yields identical records to
+    the single-task parse; whole-file-gzip and uncompressed files degrade
+    to one owning range."""
+    from pdfsearch_spark.sources.warc import read_warc_split
+
+    members = b"".join(gzip.compress(warc_bytes([r])) for r in RECS)
+    (tmp_path / "multi.warc.gz").write_bytes(members * 3)  # 12 members
+    (tmp_path / "whole.warc.gz").write_bytes(gzip.compress(warc_bytes(RECS)))
+    (tmp_path / "plain.warc").write_bytes(warc_bytes(RECS[:2]))
+
+    single = read_warc(spark, str(tmp_path)).collect()
+    # split_bytes tiny -> many ranges per file; members straddle boundaries
+    split = read_warc_split(spark, str(tmp_path), split_bytes=200).collect()
+
+    def key(rows):
+        return sorted((r["warc_file"], r["record_id"], bytes(r["payload"])) for r in rows)
+
+    assert key(split) == key(single)
+    assert len(split) == 12 + len(RECS) + 2
+    # sanity: the tiny split really produced multi-range parallelism
+    from pdfsearch_spark.sources.warc import _GZ_MAGIC  # noqa: F401
+    assert (tmp_path / "multi.warc.gz").stat().st_size > 3 * 200
+
+
 # ------------------------------------------------------------------ wet
 
 
