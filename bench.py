@@ -93,9 +93,56 @@ def _warm(spark):
     ).count()
 
 
+def materialize_corpus(
+    spark, n_docs: int, path: str, partitions: int | None = None
+) -> str:
+    """Write the FIXTURES §1 synthetic corpus as a STORED web-pages table
+    (url, warc_ts, html, text, lang — the input_hint's Iceberg-table shape)
+    and return its path; reused if already present with the right count.
+
+    This runs OUTSIDE the timed build: the engine's input at any real
+    deployment is a table on storage, not an in-job generator, and the
+    Philox per-row generator costs ~700 us/doc of Python — 5x the build's
+    own per-doc work — so timing it as part of the build measured the
+    fixture, not the engine."""
+    from pdfsearch_spark import corpus
+
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        try:
+            if spark.read.parquet(path).count() == n_docs:
+                return path
+        except Exception:
+            pass
+    shutil.rmtree(path, ignore_errors=True)
+    corpus.web_pages_df(
+        spark, n_docs, partitions=partitions or max(2 * CPUS, 16)
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _read_corpus(spark, path: str, target_tasks: int = 256):
+    """Scan the stored corpus with parallelism pinned by TARGET TASK COUNT
+    rather than the session's 128 MB default split size: the table is small
+    at bench scale, and a handful of coalesced scan tasks would serialize
+    the pre-shuffle map side at high thread counts (an artifact of bench
+    size, not of the engine — at 100 TB the default yields ~800k tasks)."""
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    split = max(1 << 20, total // target_tasks)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(max(1, split // 4)))
+    return spark.read.parquet(path)
+
+
 def run_build_and_search(
     spark, n_docs: int, n_shards: int, index_dir: str,
     partitions: int | None = None, with_queries: bool = True,
+    corpus_path: str | None = None,
 ):
     """Returns (build_metrics, {query: sec})."""
     from pdfsearch_spark import corpus
@@ -103,9 +150,14 @@ def run_build_and_search(
     from pdfsearch_spark.search import SearchEngine
 
     shutil.rmtree(index_dir, ignore_errors=True)
-    pages = corpus.web_pages_df(
-        spark, n_docs, partitions=partitions or max(2 * CPUS, 16)
-    )
+    if corpus_path is not None:
+        pages = _read_corpus(
+            spark, corpus_path, target_tasks=partitions or max(2 * CPUS, 16)
+        )
+    else:
+        pages = corpus.web_pages_df(
+            spark, n_docs, partitions=partitions or max(2 * CPUS, 16)
+        )
     metrics = build_index(spark, pages, index_dir, n_shards=n_shards)
     if not with_queries:
         return metrics, {}
@@ -222,14 +274,26 @@ def bench_once(
     spark = get_spark("bench", master=master, shuffle_partitions=cpus or CPUS)
     try:
         _warm(spark)
+        # input is a STORED web-pages table (materialize_corpus), generated
+        # outside the timed region — shared across configs via
+        # SPARK_GRAFT_CORPUS_PATH in the scaling bench ("same input" in the
+        # north rule is then literal: the same files)
+        corpus_main = os.environ.get(
+            "SPARK_GRAFT_CORPUS_PATH", index_dir + "_corpus"
+        )
+        corpus_warm = os.environ.get(
+            "SPARK_GRAFT_CORPUS_WARM", index_dir + "_corpus_warm"
+        )
+        materialize_corpus(spark, n_docs, corpus_main, partitions)
         if warm_build:
+            materialize_corpus(spark, 10_000, corpus_warm, partitions)
             # JIT/codegen + python-worker warm-up: a small throwaway build so
             # the measured one reflects steady-state throughput (the quantity
             # that scales with executors; observed 2.6x warm-up distortion)
             run_build_and_search(
                 spark, 10_000, n_shards=n_shards or 32,
                 index_dir=index_dir + "_warm", partitions=partitions,
-                with_queries=False,
+                with_queries=False, corpus_path=corpus_warm,
             )
             shutil.rmtree(index_dir + "_warm", ignore_errors=True)
             # best-of-2: the sandbox VM shows +-2x external variance; min is
@@ -240,7 +304,7 @@ def bench_once(
             b1, _ = run_build_and_search(
                 spark, n_docs, n_shards=n_shards or max(32, 2 * CPUS),
                 index_dir=index_dir, partitions=partitions,
-                with_queries=False,
+                with_queries=False, corpus_path=corpus_main,
             )
             if lite:
                 # best-of-N for the curve configs too: a single draw per
@@ -250,7 +314,7 @@ def bench_once(
                     b2, _ = run_build_and_search(
                         spark, n_docs, n_shards=n_shards or max(32, 2 * CPUS),
                         index_dir=index_dir, partitions=partitions,
-                        with_queries=False,
+                        with_queries=False, corpus_path=corpus_main,
                     )
                     if b2["elapsed_sec"] < b1["elapsed_sec"]:
                         b1 = b2
@@ -258,6 +322,7 @@ def bench_once(
             b2, times = run_build_and_search(
                 spark, n_docs, n_shards=n_shards or max(32, 2 * CPUS),
                 index_dir=index_dir, partitions=partitions,
+                corpus_path=corpus_main,
             )
             build = b1 if b1["elapsed_sec"] <= b2["elapsed_sec"] else b2
             return build, times
@@ -267,6 +332,7 @@ def bench_once(
             n_shards=n_shards or max(32, 2 * CPUS),
             index_dir=index_dir,
             partitions=partitions,
+            corpus_path=corpus_main,
         )
         if with_pipeline:
             times.update(run_refresh_bench(spark, n_docs, index_dir, partitions))
@@ -285,9 +351,28 @@ def main():
             int(sys.argv[sys.argv.index("--scaling-worker") + 1]),
             lite="--lite" in sys.argv,
         )
+    if "--gen-corpus" in sys.argv:
+        # untimed corpus materialization for the scaling bench (parent
+        # invokes this unpinned before the pinned workers run)
+        from pdfsearch_spark.session import get_spark
+
+        i = sys.argv.index("--gen-corpus")
+        gen_docs, root = int(sys.argv[i + 1]), sys.argv[i + 2]
+        spark = get_spark("gen-corpus", master="local[32]")
+        try:
+            materialize_corpus(
+                spark, gen_docs, os.path.join(root, "main"), SCALING_PARTS
+            )
+            materialize_corpus(
+                spark, 10_000, os.path.join(root, "warm"), SCALING_PARTS
+            )
+        finally:
+            spark.stop()
+        return
     if "--scaling" in sys.argv:
         return scaling(sf, n_docs)
 
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")  # see scaling_worker
     t_all = time.time()
     build, times = bench_once(f"local[{CPUS}]", n_docs, SF_DIR)
     total = round(time.time() - t_all, 3)
@@ -375,6 +460,14 @@ SCALING_TMPFS = 1  # scaling configs put scratch (shuffle) + index output on
 
 SCALING_LITE_BUILDS = 2  # measured builds per curve (lite) config; min wins
 
+SCALING_STORED_INPUT = 1  # the timed build reads a STORED corpus table
+# (materialize_corpus) instead of running the synthetic generator in-job.
+# The generator costs ~700 us/doc of Python — 5x the engine's own per-doc
+# work — so in-job generation measured the fixture's scaling, not the
+# engine's, and is also not the north-rule input shape (input_hint: an
+# Iceberg table of web pages). Knob participates in the bench-code
+# fingerprint: in-job-generation history rows are not comparable.
+
 SCALING_DOCS = 500_000  # dilutes fixed per-job driver costs (job scheduling,
 # commits, small stats stages) that are O(1) in corpus size — at web scale
 # they vanish entirely, so the scaling measurement should not be dominated
@@ -408,20 +501,29 @@ def _parallel_baseline(spark, tasks: int = 128) -> float:
     return _t.time() - t0
 
 
-def _string_baseline(spark, n_docs: int = 60_000) -> float:
+def _string_baseline(
+    spark, n_docs: int = 60_000, stored_docs: int | None = None
+) -> float:
     """REPRESENTATIVE hardware ceiling: the build's own stage-1 hot loop
     (HTML extraction + tokenization) as a pure map — embarrassingly parallel,
     zero shuffle, zero driver work. String/memory-bandwidth-bound work gains
-    far less from SMT sibling threads than numpy compute, so this — not the
-    numpy kernel — is the honest N→4N ceiling for an indexing workload.
+    far less from contended upper threads than numpy compute, so this — not
+    the numpy kernel — is the honest N→4N ceiling for an indexing workload.
     Whatever the full build loses RELATIVE to this kernel is attributable to
     our pipeline (shuffle, stragglers, driver); losses below it are the
-    host's."""
+    host's. Reads the same stored corpus table the measured build reads
+    (sampled down), so kernel and build share the input path."""
     import time as _t
 
     from pdfsearch_spark import corpus
 
-    pages = corpus.web_pages_df(spark, n_docs, partitions=256)
+    path = os.environ.get("SPARK_GRAFT_CORPUS_PATH")
+    if path and stored_docs and os.path.exists(os.path.join(path, "_SUCCESS")):
+        pages = _read_corpus(spark, path, target_tasks=256)
+        if stored_docs > n_docs:
+            pages = pages.sample(fraction=n_docs / stored_docs, seed=7)
+    else:
+        pages = corpus.web_pages_df(spark, n_docs, partitions=256)
 
     def kernel(it):
         import pandas as pd
@@ -451,6 +553,13 @@ def scaling_worker(cpus: int, lite: bool = False):
     by scaling()."""
     from pdfsearch_spark.session import get_spark
 
+    # 16 GB heap for the bench JVM: at 32 concurrent tasks the build's
+    # in-flight shuffle/write/Arrow buffers overflow the 8 GB default's
+    # headroom and GC time explodes (measured 150s of GC per 250k-doc
+    # build at 32 threads vs ~4s at 16 GB; at 8 threads both are fine —
+    # i.e. the small heap directly costs scaling efficiency). On a real
+    # cluster this is per-executor memory sizing, set via spark-submit.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     n_docs = max(corpus_size(_sf_of(SF_DIR)), _scaling_docs())
     index_dir = INDEX_DIR
     if SCALING_TMPFS and os.access("/dev/shm", os.W_OK):
@@ -471,7 +580,7 @@ def scaling_worker(cpus: int, lite: bool = False):
             _warm(spark)
             _parallel_baseline(spark, 32)  # warm numpy path
             base = min(_parallel_baseline(spark), _parallel_baseline(spark))
-            sbase = _string_baseline(spark)
+            sbase = _string_baseline(spark, stored_docs=n_docs)
         finally:
             spark.stop()
     finally:
@@ -500,6 +609,25 @@ def scaling(sf: float, n_docs: int):
     import subprocess
 
     n_docs = max(n_docs, _scaling_docs())
+    # ONE stored input table for every config ("same input", literally):
+    # generated once, unpinned and untimed, on tmpfs when available
+    corpus_root = (
+        "/dev/shm/spark_graft_corpus"
+        if SCALING_TMPFS and os.access("/dev/shm", os.W_OK)
+        else "/tmp/spark_graft_corpus"
+    )
+    gen = subprocess.run(
+        [sys.executable, os.path.abspath(__file__),
+         "--gen-corpus", str(n_docs), corpus_root],
+        capture_output=True, text=True, env=os.environ.copy(),
+    )
+    if gen.returncode != 0:
+        sys.stderr.write(
+            f"corpus generation failed\n{gen.stdout[-2000:]}\n{gen.stderr[-4000:]}\n"
+        )
+        raise SystemExit(1)
+    os.environ["SPARK_GRAFT_CORPUS_PATH"] = os.path.join(corpus_root, "main")
+    os.environ["SPARK_GRAFT_CORPUS_WARM"] = os.path.join(corpus_root, "warm")
     results = {}
     # Primary pair first (8, 32) — measured exactly as every historical row,
     # back-to-back so host drift between the two builds is minimized. The
@@ -589,6 +717,7 @@ def scaling(sf: float, n_docs: int):
     with open("BENCH/history.jsonl", "a") as hf:
         hf.write(json.dumps(out) + "\n")
     write_scaling_report(out)
+    shutil.rmtree(corpus_root, ignore_errors=True)
 
 
 def write_scaling_report(out: dict) -> None:

@@ -32,34 +32,49 @@ def unzigzag(u: int) -> int:
     return (u >> 1) ^ -(u & 1)
 
 
+# LEB128 byte-length thresholds: value v needs 1 + (count of thresholds <= v)
+# bytes; one searchsorted replaces a data-dependent shift loop
+_VARINT_THRESHOLDS = np.uint64(1) << (
+    np.uint64(7) * np.arange(1, 10, dtype=np.uint64)
+)
+
+
 def _varint_stream(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized LEB128 encode → (uint8 buffer, per-value byte offsets
     [len+1]). One call encodes any number of logical streams concatenated;
     callers slice blobs/blocks out of the offset array — this is what keeps
-    posting encode at a handful of numpy ops per TERM instead of per block."""
-    v = values.astype(np.uint64, copy=True)
-    if len(v) == 0:
+    posting encode at a handful of numpy ops per TERM instead of per block.
+
+    Strategy: an (n, maxbytes) uint8 matrix of 7-bit groups (continuation
+    bit pre-set on all), flattened row-major through a single j<nbytes
+    boolean select — that order IS the LEB128 stream — then the final byte
+    of each value gets its continuation bit cleared by one indexed pass.
+    ~1.5x faster than a per-byte-position masked scatter and, more
+    importantly for many concurrent workers, far fewer full-array passes
+    (this is the build's memory-bandwidth hot spot)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(len(v), dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 7
-        tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits // 7, 1)
-    offsets = np.zeros(len(v) + 1, dtype=np.int64)
+    nbytes = np.searchsorted(_VARINT_THRESHOLDS, v, side="right").astype(
+        np.int64
+    )
+    nbytes += 1
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
     np.cumsum(nbytes, out=offsets[1:])
-    out = np.zeros(offsets[-1], dtype=np.uint8)
     maxb = int(nbytes.max())
+    mat = np.empty((n, maxb), dtype=np.uint8)
+    w = v if maxb == 1 else v.copy()
     for j in range(maxb):
-        mask = nbytes > j
-        idx = offsets[:-1][mask] + j
-        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-        out[idx] = chunk.astype(np.uint8) | cont
+        mat[:, j] = w.astype(np.uint8)
+        if j + 1 < maxb:
+            w >>= np.uint64(7)
+    mat &= np.uint8(0x7F)
+    mat |= np.uint8(0x80)
+    sel = np.arange(maxb, dtype=np.int64)[None, :] < nbytes[:, None]
+    out = mat[sel]
+    out[offsets[1:] - 1] &= np.uint8(0x7F)
     return out, offsets
 
 
@@ -198,20 +213,48 @@ def encode_shard_frame(
     """
     n = len(doc_ids)
     if n == 0:
-        return {k: [] for k in (
-            "term", "df", "cf", "dl_blob", "doc_blob", "tf_blob", "pos_blob",
-            "first_docs", "last_docs", "doc_offs", "tf_offs", "pos_offs",
-            "dl_offs", "block_lens", "max_impacts",
-        )}
-    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
-    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
-    dls = np.ascontiguousarray(dls, dtype=np.int64)
-
+        return _EMPTY_FRAME()
     # term boundaries (terms sorted): ts = starts per term, len T+1
     uniq, ts0 = np.unique(terms, return_index=True)
     order_t = np.argsort(ts0)
     uniq, ts0 = uniq[order_t], ts0[order_t]
     ts = np.append(ts0, n)
+    return encode_shard_frame_pre(
+        list(uniq), ts, doc_ids, tfs, dls, positions, avgdl
+    )
+
+
+def _EMPTY_FRAME() -> dict:
+    return {k: [] for k in (
+        "term", "df", "cf", "dl_blob", "doc_blob", "tf_blob", "pos_blob",
+        "first_docs", "last_docs", "doc_offs", "tf_offs", "pos_offs",
+        "dl_offs", "block_lens", "max_impacts",
+    )}
+
+
+def encode_shard_frame_pre(
+    uniq: list,
+    ts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: list,
+    avgdl: float,
+) -> dict:
+    """encode_shard_frame with term boundaries precomputed by the caller:
+    ``uniq`` = term strings in stream order, ``ts`` = int64 posting-start
+    offsets per term (len T+1, ts[0]=0, ts[T]=n). The build's hot path
+    (index_build.encode_docs_partitions) tracks terms as integer ids, so it
+    derives boundaries from a bincount over the sorted id stream — no
+    object-dtype np.unique / lexsort over string arrays (pointer-chasing
+    that dominates encode CPU and memory traffic)."""
+    n = len(doc_ids)
+    if n == 0:
+        return _EMPTY_FRAME()
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
     T = len(uniq)
     df = np.diff(ts)
 
@@ -304,7 +347,7 @@ def encode_shard_frame(
     cf = np.add.reduceat(tfs, ts[:-1])
 
     return {
-        "term": uniq.tolist(),
+        "term": list(uniq),
         "df": df.tolist(),
         "cf": cf.tolist(),
         "dl_blob": [bytes(mv[dl_b[t] : dl_b[t + 1]]) for t in range(T)],

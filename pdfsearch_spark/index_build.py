@@ -131,6 +131,75 @@ POSTING_SCHEMA = StructType(
 )
 
 
+def _mmh3_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt (= ``F.hash`` over one int32 column),
+    reimplemented so the driver can INVERT the engine's hash partitioner
+    (pinned against F.hash by tests/test_shard_balance.py)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = x & 0xFFFFFFFF
+    k = (k * c1) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * c2) & 0xFFFFFFFF
+    h = seed ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # fmix: length in bytes of one int
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+_PKEY_CACHE: dict[int, list[int]] = {}
+
+
+def shard_pkeys(n_parts: int) -> list[int]:
+    """pkeys[r] = smallest k >= 0 with pmod(F.hash(k), n_parts) == r.
+
+    Lets ``repartition(n_parts, pkey)`` place shard s in partition s
+    EXACTLY, instead of pmod(hash(s), n) which collides: with S shards
+    into S partitions, hashing leaves ~S/e partitions empty and piles
+    2-4 shards on others — at high parallelism the build's encode stage
+    then runs few waves of unbalanced tasks and the stragglers set the
+    wall (measured: 2x phase wall at 32 threads). Driver-side cost is a
+    one-off ~n·ln n hash probe, cached per n_parts."""
+    pk = _PKEY_CACHE.get(n_parts)
+    if pk is None:
+        pk = [-1] * n_parts
+        found, k = 0, 0
+        while found < n_parts:
+            r = _mmh3_int(k) % n_parts
+            if pk[r] < 0:
+                pk[r] = k
+                found += 1
+            k += 1
+        _PKEY_CACHE[n_parts] = pk
+    return pk
+
+
+def cluster_by_shard(df: DataFrame, n_shards: int, n_parts: int | None = None) -> DataFrame:
+    """Exchange that places shard s in partition s exactly (see
+    shard_pkeys). ``n_parts`` >= n_shards spreads shards over more
+    partitions 1:1 (the extras stay empty) for callers that size the
+    exchange to cluster parallelism."""
+    n_parts = n_parts or n_shards
+    lut = F.array(*[F.lit(k) for k in shard_pkeys(n_parts)[:n_shards]])
+    return (
+        df.withColumn("_pkey", F.element_at(lut, F.col("shard") + 1).cast("int"))
+        .repartition(n_parts, F.col("_pkey"))
+        .drop("_pkey")
+    )
+
+
+# Build-input contract (input_hint): the columns the extractor consumes.
+# Extra input columns (e.g. a pre-extracted cross-check ``text``) are
+# pruned BEFORE the build's one full-payload exchange — they would
+# otherwise ride the shuffle and every Arrow crossing for nothing.
+PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
 def shard_of(doc_id: int, n_shards: int) -> int:
     """Top-bits range shard of a signed 64-bit doc id (uniform for FNV ids)."""
     u = (doc_id + (1 << 64)) % (1 << 64)
@@ -280,7 +349,7 @@ def encode_docs_partitions(avgdl: float, metrics_acc=None, segment: int = 0):
         from itertools import chain
 
         from .analyzer import tokenize
-        from .codec import encode_shard_frame
+        from .codec import encode_shard_frame_pre
 
         pdfs = [p for p in it]
         if not pdfs:
@@ -290,10 +359,18 @@ def encode_docs_partitions(avgdl: float, metrics_acc=None, segment: int = 0):
             return
         for shard, g in pdf.groupby("shard", sort=False):
             t0 = time.perf_counter()
+            # docs processed in ascending doc_id order, so postings of one
+            # term are doc-sorted by construction and ONE stable integer
+            # sort on term id below yields (term, doc_id) order — replacing
+            # the former object-dtype lexsort over term strings (the
+            # pointer-chasing hot spot of the encode stage)
+            g = g.sort_values("doc_id", kind="stable")
+            tid_of: dict[str, int] = {}
+            terms_list: list[str] = []
             doc_list: list[int] = []
             dl_list: list[int] = []
             nt_list: list[int] = []
-            terms_all: list[str] = []
+            tid_chunks: list[list[int]] = []
             tf_arrays: list[np.ndarray] = []
             pos_arrays: list[np.ndarray] = []
             for doc_id, text in zip(g["doc_id"], g["text"]):
@@ -306,12 +383,18 @@ def encode_docs_partitions(avgdl: float, metrics_acc=None, segment: int = 0):
                 doc_list.append(doc_id)
                 dl_list.append(len(toks))
                 nt_list.append(len(agg))
-                terms_all.extend(agg.keys())
+                tids = []
+                for t in agg.keys():
+                    i = tid_of.setdefault(t, len(terms_list))
+                    if i == len(terms_list):
+                        terms_list.append(t)
+                    tids.append(i)
+                tid_chunks.append(tids)
                 tf_arrays.append(
-                    np.fromiter((len(v) for v in agg.values()), np.int64, len(agg))
+                    np.fromiter((len(v) for v in agg.values()), np.int32, len(agg))
                 )
                 pos_arrays.append(
-                    np.fromiter(chain.from_iterable(agg.values()), np.int64, len(toks))
+                    np.fromiter(chain.from_iterable(agg.values()), np.int32, len(toks))
                 )
             if not doc_list:
                 continue
@@ -319,14 +402,15 @@ def encode_docs_partitions(avgdl: float, metrics_acc=None, segment: int = 0):
             n_post = int(nt.sum())
             doc_flat = np.repeat(np.array(doc_list, dtype=np.int64), nt)
             dl_flat = np.repeat(np.array(dl_list, dtype=np.int64), nt)
-            terms_flat = np.empty(n_post, dtype=object)
-            terms_flat[:] = terms_all
+            tid_flat = np.fromiter(
+                chain.from_iterable(tid_chunks), np.int32, n_post
+            )
             tf_flat = np.concatenate(tf_arrays)
             abs_flat = np.concatenate(pos_arrays)
             plens = tf_flat
             pstarts = np.zeros(n_post, dtype=np.int64)
             np.cumsum(plens[:-1], out=pstarts[1:])
-            order = np.lexsort((doc_flat, terms_flat))
+            order = np.argsort(tid_flat, kind="stable")
             ln = plens[order]
             lo = pstarts[order]
             out_start = np.zeros(n_post, dtype=np.int64)
@@ -334,8 +418,14 @@ def encode_docs_partitions(avgdl: float, metrics_acc=None, segment: int = 0):
             idx = np.repeat(lo - out_start, ln) + np.arange(
                 int(ln.sum()), dtype=np.int64
             )
-            cols = encode_shard_frame(
-                terms_flat[order],
+            # term boundaries straight from the id counts (ids are dense,
+            # 0..T-1, in first-appearance order; sorted stream groups them)
+            counts = np.bincount(tid_flat, minlength=len(terms_list))
+            ts = np.zeros(len(terms_list) + 1, dtype=np.int64)
+            np.cumsum(counts, out=ts[1:])
+            cols = encode_shard_frame_pre(
+                terms_list,
+                ts,
                 doc_flat[order],
                 tf_flat[order],
                 dl_flat[order],
@@ -451,7 +541,9 @@ def build_index(
     # repartition either (each task already holds exactly one shard → one
     # file per shard partition).
     docs = extract_documents_sharded(
-        ids_and_shards(pages, n_shards).repartition(n_shards, F.col("shard"))
+        cluster_by_shard(
+            ids_and_shards(pages.select(*PAGE_COLUMNS), n_shards), n_shards
+        )
     )
     # One extraction+shuffle pass feeds documents, doc_text, stats AND the
     # term-row shuffle below; persist to avoid re-extracting per consumer.
@@ -733,9 +825,9 @@ def refresh_index(
     watermark = st["watermark"]
     epoch = int(st["epoch"])
 
-    new_pages = pages
+    new_pages = pages.select(*PAGE_COLUMNS)
     if use_watermark and watermark is not None:
-        new_pages = pages.filter(F.col("warc_ts") > F.lit(watermark))
+        new_pages = new_pages.filter(F.col("warc_ts") > F.lit(watermark))
     pre = ids_and_shards(new_pages, n_shards)
     # committed docs only (segment < seg): a crashed attempt's orphan
     # documents partition must not mask its docs out of the redo batch
@@ -752,7 +844,7 @@ def refresh_index(
     n_spread = max(n_shards, spark.sparkContext.defaultParallelism * 2)
     # serialized cache for the same text-heavy-rows reason as build_index
     docs = extract_documents_sharded(
-        pre.repartition(n_spread, F.col("shard"))
+        cluster_by_shard(pre, n_shards, n_spread)
     ).persist(StorageLevel.MEMORY_AND_DISK)
     agg = docs.agg(
         F.count("*").alias("n_new"),

@@ -71,5 +71,16 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # glibc malloc tuning for the Python workers (vectorized UDFs):
+        # by default every >128 KB allocation is mmap'd and returned to the
+        # OS on free, so each Arrow batch / numpy temp in the encode and
+        # extract hot loops re-faults its pages on every call — and with
+        # many concurrent workers those faults serialize on kernel memory
+        # locks (measured: 23-35% per-encode overhead at 8-32 workers,
+        # scripts/dev_concurrency_probe.py). Raising the mmap threshold and
+        # disabling trim keeps the scratch pages resident in the worker for
+        # its lifetime. ~256 MB per worker upper bound, freed on worker exit.
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
     )
     return builder.getOrCreate()

@@ -76,3 +76,43 @@ def test_index_stats_consistent_with_term_stats(spark, index_dir):
     assert sum(r["n_tokens"] for r in st) == ts["cf"]
     # blob byte counts are positive wherever there are postings
     assert all(r["doc_bytes"] > 0 and r["tf_bytes"] > 0 for r in st)
+
+
+def test_hash_inverse_matches_spark_and_places_exactly(spark):
+    """cluster_by_shard's placement relies on a driver-side reimplementation
+    of Spark's int32 Murmur3 (F.hash): pin the two against each other, and
+    prove the exact shard -> partition placement (one shard per partition,
+    no empties) that defeats hash-collision stragglers in the encode stage."""
+    from pyspark.sql import functions as F
+
+    from pdfsearch_spark.index_build import (
+        _mmh3_int,
+        cluster_by_shard,
+        shard_pkeys,
+    )
+
+    vals = list(range(300)) + [2**31 - 1, -1, -2**31]
+    got = {
+        r["k"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "k int")
+        .select("k", F.hash("k").alias("h"))
+        .collect()
+    }
+    assert all(got[v] == _mmh3_int(v) for v in vals)
+
+    n = 16
+    pk = shard_pkeys(n)
+    assert sorted(_mmh3_int(k) % n for k in pk) == list(range(n))
+
+    df = spark.range(800).select(
+        (F.col("id") % n).cast("int").alias("shard"), F.col("id")
+    )
+    parts = (
+        cluster_by_shard(df, n)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(F.collect_set("shard").alias("shards"))
+        .collect()
+    )
+    assert len(parts) == n  # no empty partitions
+    assert all(len(r["shards"]) == 1 for r in parts)  # one shard each
