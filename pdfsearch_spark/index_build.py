@@ -5,7 +5,9 @@ the Spark-first way — SURVEY.md §3.A).
 Layout (partitioned Parquet warehouse; Iceberg would use the same schema):
 
   <out>/documents/    doc_id, url, host, base_name, warc_ts, lang, dl, shard
-  <out>/doc_text/     shard / doc_id, part, text          (snippet source)
+  <out>/doc_text/     shard / full doc store: text + part + every documents
+                      column (snippet source; the build's later stages are
+                      column-pruned reads of this table)
   <out>/term_stats/   term, df, cf                        (global, for idf)
   <out>/postings/     shard / term, df, cf, blobs + block metadata
   <out>/stats/        n_docs, avgdl, total_tokens, n_terms
@@ -20,12 +22,14 @@ Scale design (the part that must survive 1000 executors × 100 TB):
   "skew-aware splitting of head terms", done by construction rather than by
   salting after the fact). Within a shard doc ids are a contiguous range, so
   delta gaps stay small.
-- ONE exchange total, and it carries only the extracted documents (text +
-  metadata), clustered by shard. Everything derived from tokens — per-doc tf
-  aggregation, position streams, posting encode — happens map-side over the
-  shard-clustered partitions (encode_docs_partitions): the per-term payload
-  never crosses a shuffle or an Arrow boundary at all. Shuffle bytes per
-  token: zero; shuffle bytes per document: its text, once.
+- ONE exchange total, and it carries the raw pages clustered by shard;
+  dedup + extraction run AFTER it in a single Arrow pass whose one consumer
+  writes the doc_text store. Everything derived from tokens — per-doc tf
+  aggregation, position streams, posting encode — happens map-side over
+  column-pruned reads of that shard-clustered store
+  (encode_docs_partitions): the per-term payload never crosses a shuffle or
+  an Arrow boundary at all. Shuffle bytes per token: zero; shuffle bytes
+  per document: its raw page, once.
 - ``n_shards`` sizing rule: pick so one shard's posting rows ≈ 100-500 MB in
   flight (n_shards ≈ total_postings × 24 B / 250 MB); at sf0.1 bench scale 32
   matches local[32]; at 10^12 docs this is ~10^5 shards, which Spark handles
@@ -39,10 +43,10 @@ from __future__ import annotations
 
 import os
 import time
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
@@ -198,6 +202,33 @@ def cluster_by_shard(df: DataFrame, n_shards: int, n_parts: int | None = None) -
 # pruned BEFORE the build's one full-payload exchange — they would
 # otherwise ride the shuffle and every Arrow crossing for nothing.
 PAGE_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
+@contextmanager
+def _whole_file_scans(spark: SparkSession):
+    """Scope file scans to ONE parquet file per task.
+
+    The encode stage reads the shard-clustered doc store back and relies on
+    partition == shard (one posting row per (segment, shard, term), and the
+    per-task seen-state of the fused dedup). Spark's default bin-packing
+    would coalesce many small shard files into one task (fine) but can also
+    SPLIT a file across tasks at row-group boundaries (not fine). Setting
+    openCostInBytes == maxPartitionBytes makes every file overflow a bin by
+    itself: exactly one file per task, at any file size — the same knob a
+    cluster deployment sets for this read. n_shards stays the contract that
+    bounds one shard's rows to one task's memory."""
+    mpb_key = "spark.sql.files.maxPartitionBytes"
+    oc_key = "spark.sql.files.openCostInBytes"
+    prev_mpb = spark.conf.get(mpb_key)
+    prev_oc = spark.conf.get(oc_key)
+    big = str(1 << 38)  # 256 GiB: above any shard file; never splits
+    spark.conf.set(mpb_key, big)
+    spark.conf.set(oc_key, big)
+    try:
+        yield
+    finally:
+        spark.conf.set(mpb_key, prev_mpb)
+        spark.conf.set(oc_key, prev_oc)
 
 
 def shard_of(doc_id: int, n_shards: int) -> int:
@@ -510,8 +541,10 @@ def build_index(
 ) -> dict:
     """Full index build. Returns build metrics dict.
 
-    ``only_shards`` is the resume hook: restrict the posting/doc_text stages
-    to the given shards (documents/stats stages are idempotent overwrites).
+    ``only_shards`` is the resume hook: drop completed shards before the
+    exchange (never re-shuffled or re-extracted) and rebuild only the given
+    shards' doc_text/documents/postings partitions; global stats re-derive
+    from the now-complete narrow documents table.
     """
     t0 = time.time()
     phases: dict[str, float] = {}
@@ -540,54 +573,54 @@ def build_index(
     # are never even extracted, and the doc_text write below needs no
     # repartition either (each task already holds exactly one shard → one
     # file per shard partition).
-    docs = extract_documents_sharded(
-        cluster_by_shard(
-            ids_and_shards(pages.select(*PAGE_COLUMNS), n_shards), n_shards
-        )
-    )
-    # One extraction+shuffle pass feeds documents, doc_text, stats AND the
-    # term-row shuffle below; persist to avoid re-extracting per consumer.
-    # SERIALIZED storage (MEMORY_AND_DISK, deserialized=false — not the
-    # DataFrame default MEMORY_AND_DISK_DESER): the cached rows are text-heavy,
-    # and holding 100Ks of live String objects per executor makes every GC
-    # pause scale with cache size and thread count. Compact serialized bytes
-    # cost one deserialization per consumer but keep the heap flat — measured
-    # here: ~20% faster full build at 32 threads, ~3% at 8 (the GC tax grows
-    # with cores, so this also buys scaling efficiency), and it is the right
-    # executor-memory default for a 100 TB corpus cache.
-    docs.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # documents partitioned by (segment, shard) like every other table:
-    # result-assembly point lookups know shard_of(doc_id), so they prune to
-    # one partition dir instead of scanning the whole doc catalog
-    meta = docs.drop("text", "part").withColumn("segment", F.lit(0))
-    meta.write.partitionBy("segment", "shard").mode("overwrite").parquet(
-        os.path.join(out_dir, "documents")
-    )
-    _phase("extract_and_documents")
-
-    # base_name travels with the text so the snippet path's single point
-    # lookup covers every display field (no second job against documents)
-    doc_text = docs.select("shard", "doc_id", "part", "base_name", "text").withColumn(
-        "segment", F.lit(0)
-    )
+    pre = ids_and_shards(pages.select(*PAGE_COLUMNS), n_shards)
     if only_shards is not None:
-        doc_text = doc_text.filter(F.col("shard").isin(only_shards))
-    # Cluster rows by shard before the partitioned write: from P upstream
-    # partitions x S shards, an unclustered write emits P*S tiny files (and
-    # P*S committer round-trips); clustered, it's ~one file per shard.
-    doc_text.write.partitionBy("segment", "shard").mode("overwrite").parquet(
-        os.path.join(out_dir, "doc_text")
-    )
-    _phase("doc_text_write")
+        # per-partition checkpoint resume: completed shards are dropped
+        # BEFORE the exchange — their pages are never shuffled or
+        # re-extracted; their committed doc_text/documents partitions feed
+        # the global stats below unchanged.
+        pre = pre.filter(F.col("shard").isin(only_shards))
+    docs = extract_documents_sharded(cluster_by_shard(pre, n_shards))
+
+    # The extraction has exactly ONE consumer action: the doc_text store
+    # (text + every display/metadata field + dl), written shard-clustered
+    # (~one zstd parquet file per shard). Every later stage is a
+    # COLUMN-PRUNED read of this table rather than a pass over a cached
+    # frame: the former MEMORY_AND_DISK serialized cache was deserialized
+    # in full — text included — by three consumers (documents write, stats
+    # agg, encode), and re-inflating text-heavy rows made GC + deserialize
+    # time scale with thread count (profiled at 32 threads: the doc_text
+    # pass spent 2-4x more task time in GC/deser than on CPU). Write-once /
+    # read-pruned is also the only layout that still works when the corpus
+    # does not fit cluster memory.
+    doc_text_dir = os.path.join(out_dir, "doc_text")
+    docs.withColumn("segment", F.lit(0)).write.partitionBy(
+        "segment", "shard"
+    ).mode("overwrite").parquet(doc_text_dir)
+    _phase("extract_and_doc_text_write")
+
+    # documents = the narrow catalog projection of the store: a pruned read
+    # that never decodes the text column, partitioned by (segment, shard)
+    # like every other table so result-assembly point lookups prune to one
+    # partition dir instead of scanning the whole doc catalog.
+    store = spark.read.parquet(doc_text_dir)
+    meta_cols = [c for c in store.columns if c not in ("text", "part")]
+    store.select(*meta_cols).write.partitionBy("segment", "shard").mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "documents"))
+    _phase("documents_write")
 
     # Per-shard lineage (input fingerprint + token counts) and the global
-    # corpus stats come from ONE agg over the persisted extraction — the
+    # corpus stats come from ONE agg over the narrow documents table — the
     # global N/avgdl/watermark (FTS5 includes zero-token docs in N and
-    # avgdl) are just the driver-side fold of the per-shard rows.
+    # avgdl) are just the driver-side fold of the per-shard rows. On resume
+    # this covers ALL shards by construction: completed shards' partitions
+    # were already committed, the filtered rebuild just added the missing
+    # ones.
     lineage = {
         r["shard"]: r
-        for r in docs.groupBy("shard")
+        for r in spark.read.parquet(os.path.join(out_dir, "documents"))
+        .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.expr("bit_xor(doc_id)").alias("docs_fingerprint"),
@@ -603,22 +636,23 @@ def build_index(
     watermark = max(wms) if wms else None
     _phase("stats_lineage_agg")
 
-    rows = docs.select("shard", "doc_id", "text")
-    if only_shards is not None:
-        rows = rows.filter(F.col("shard").isin(only_shards))
-
-    # Postings, entirely map-side: docs are already shard-clustered (the
-    # build's ONE exchange, above), so tokenize → aggregate → encode runs in
-    # a single mapInPandas over the persisted partitions. No second shuffle,
+    # Postings, entirely map-side: a pruned (shard, doc_id, text) read of
+    # the shard-clustered store, pinned to whole-file tasks so partition ==
+    # shard exactly (one posting row per (segment, shard, term)); tokenize
+    # → aggregate → encode runs in a single mapInPandas, no second shuffle,
     # and the per-term payload never crosses an Arrow boundary.
     shard_metrics_acc = spark.sparkContext.accumulator({}, _ShardMetricsParam())
-    postings = rows.mapInPandas(
-        encode_docs_partitions(avgdl, shard_metrics_acc), schema=POSTING_SCHEMA
-    )
-    postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
-        os.path.join(out_dir, "postings")
-    )
-    _phase("postings_shuffle_encode_write")
+    with _whole_file_scans(spark):
+        rows = spark.read.parquet(doc_text_dir).select("shard", "doc_id", "text")
+        if only_shards is not None:
+            rows = rows.filter(F.col("shard").isin(only_shards))
+        postings = rows.mapInPandas(
+            encode_docs_partitions(avgdl, shard_metrics_acc), schema=POSTING_SCHEMA
+        )
+        postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
+            os.path.join(out_dir, "postings")
+        )
+    _phase("postings_encode_write")
 
     # Global df/cf per term (for idf at query time) from the postings table
     # itself — a column-pruned scan of (term, df, cf), never touching the
@@ -630,7 +664,6 @@ def build_index(
     )
     term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
     _phase("term_stats")
-    docs.unpersist()
 
     _write_stats(spark, out_dir, n_docs, avgdl, total_tokens, n_shards, 1, watermark)
 
@@ -842,44 +875,54 @@ def refresh_index(
     # shard, so extract_documents_sharded's fused dedup+extract replaces
     # the former dropDuplicates exchange entirely.
     n_spread = max(n_shards, spark.sparkContext.defaultParallelism * 2)
-    # serialized cache for the same text-heavy-rows reason as build_index
-    docs = extract_documents_sharded(
-        cluster_by_shard(pre, n_shards, n_spread)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    agg = docs.agg(
+    docs = extract_documents_sharded(cluster_by_shard(pre, n_shards, n_spread))
+
+    # 1) the segment's doc_text partitions — like the fresh build, the
+    #    extraction's ONE consumer is the full doc store write; every later
+    #    step is a column-pruned read of the new segment's partitions (an
+    #    empty batch writes no partitions and commits nothing).
+    docs.withColumn("segment", F.lit(seg)).write.partitionBy(
+        "segment", "shard"
+    ).mode("overwrite").parquet(table_dir(out_dir, "doc_text", epoch))
+    seg_store = spark.read.parquet(table_dir(out_dir, "doc_text", epoch)).filter(
+        F.col("segment") == seg
+    )
+    agg = seg_store.agg(
         F.count("*").alias("n_new"),
         F.sum("dl").alias("new_tokens"),
         F.max("warc_ts").alias("new_wm"),
     ).collect()[0]
     n_new = int(agg["n_new"] or 0)
     if n_new == 0:
-        docs.unpersist()
         return {"appended_docs": 0, "segment": None, "elapsed_sec": time.time() - t0}
     n_docs2 = int(st["n_docs"]) + n_new
     total2 = int(st["total_tokens"]) + int(agg["new_tokens"] or 0)
     avgdl2 = total2 / n_docs2 if n_docs2 else 0.0
 
-    # 1) postings for the new segment (blocks encoded against the NEW avgdl;
-    #    older segments' block bounds are rescaled at query time via enc_avgdl)
+    # 2) postings for the new segment (blocks encoded against the NEW avgdl;
+    #    older segments' block bounds are rescaled at query time via
+    #    enc_avgdl), from a pruned whole-file read of the segment's store
     shard_metrics_acc = spark.sparkContext.accumulator({}, _ShardMetricsParam())
-    postings = docs.select("shard", "doc_id", "text").mapInPandas(
-        encode_docs_partitions(avgdl2, shard_metrics_acc, segment=seg),
-        schema=POSTING_SCHEMA,
-    )
-    postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
-        table_dir(out_dir, "postings", epoch)
-    )
+    with _whole_file_scans(spark):
+        rows = (
+            spark.read.parquet(table_dir(out_dir, "doc_text", epoch))
+            .filter(F.col("segment") == seg)
+            .select("shard", "doc_id", "text")
+        )
+        postings = rows.mapInPandas(
+            encode_docs_partitions(avgdl2, shard_metrics_acc, segment=seg),
+            schema=POSTING_SCHEMA,
+        )
+        postings.write.partitionBy("segment", "shard").mode("overwrite").parquet(
+            table_dir(out_dir, "postings", epoch)
+        )
 
-    # 2) doc_text + documents partitions for the segment (docs are already
-    #    shard-clustered, so the partitioned writes stay ~one file per shard)
-    docs.select("shard", "doc_id", "part", "base_name", "text").withColumn(
-        "segment", F.lit(seg)
-    ).write.partitionBy(
-        "segment", "shard"
-    ).mode("overwrite").parquet(table_dir(out_dir, "doc_text", epoch))
-    docs.drop("text", "part").withColumn("segment", F.lit(seg)).write.partitionBy(
-        "segment", "shard"
-    ).mode("overwrite").parquet(table_dir(out_dir, "documents", epoch))
+    # 2b) documents partitions for the segment: the narrow projection of the
+    #     segment's store (pruned read, text never decoded)
+    meta_cols = [c for c in seg_store.columns if c not in ("text", "part")]
+    seg_store.select(*meta_cols).write.partitionBy("segment", "shard").mode(
+        "overwrite"
+    ).parquet(table_dir(out_dir, "documents", epoch))
 
     # 3) global term stats recomputed from the postings table (column-pruned
     #    scan of (term, df, cf) — blobs untouched)
@@ -928,7 +971,6 @@ def refresh_index(
         spark.createDataFrame(pd.DataFrame(rows_out)).write.mode("append").parquet(
             os.path.join(out_dir, "_build_state")
         )
-    docs.unpersist()
 
     # 5) COMMIT: stats last — new watermark + segment count become visible
     #    only once every data partition for the segment is in place.

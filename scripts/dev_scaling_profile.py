@@ -40,6 +40,10 @@ def main() -> None:
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(scratch, exist_ok=True)
     os.environ["SPARK_GRAFT_LOCAL_DIR"] = os.path.join(scratch, "local")
+    # match the scaling bench's heap (bench.scaling_worker): at 32 threads
+    # the 8 GB default GC-thrashes and the profile measures the heap, not
+    # the engine
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     os.environ["PYSPARK_SUBMIT_ARGS"] = (
         f"--conf spark.eventLog.enabled=true "
         f"--conf spark.eventLog.dir=file:{evdir} "
