@@ -108,6 +108,13 @@ DOCROW_SCHEMA = StructType(
     ]
 )
 
+# doc_text on disk = DOCROW + the segment partition column. Passed explicitly
+# to every read-back of the store: schema inference would otherwise add a
+# footer-probe job per read.
+DOC_STORE_SCHEMA = StructType(
+    list(DOCROW_SCHEMA.fields) + [StructField("segment", IntegerType())]
+)
+
 POSTING_SCHEMA = StructType(
     [
         StructField("segment", IntegerType()),
@@ -599,11 +606,15 @@ def build_index(
     ).mode("overwrite").parquet(doc_text_dir)
     _phase("extract_and_doc_text_write")
 
+    # ONE read handle (explicit schema, no inference probe) shared by every
+    # downstream stage: its file listing is computed once and cached on the
+    # DataFrame, instead of a fresh listing + footer job per consumer.
+    store = spark.read.schema(DOC_STORE_SCHEMA).parquet(doc_text_dir)
+
     # documents = the narrow catalog projection of the store: a pruned read
     # that never decodes the text column, partitioned by (segment, shard)
     # like every other table so result-assembly point lookups prune to one
     # partition dir instead of scanning the whole doc catalog.
-    store = spark.read.parquet(doc_text_dir)
     meta_cols = [c for c in store.columns if c not in ("text", "part")]
     store.select(*meta_cols).write.partitionBy("segment", "shard").mode(
         "overwrite"
@@ -611,16 +622,14 @@ def build_index(
     _phase("documents_write")
 
     # Per-shard lineage (input fingerprint + token counts) and the global
-    # corpus stats come from ONE agg over the narrow documents table — the
-    # global N/avgdl/watermark (FTS5 includes zero-token docs in N and
-    # avgdl) are just the driver-side fold of the per-shard rows. On resume
-    # this covers ALL shards by construction: completed shards' partitions
-    # were already committed, the filtered rebuild just added the missing
-    # ones.
+    # corpus stats come from ONE pruned agg over the store — the global
+    # N/avgdl/watermark (FTS5 includes zero-token docs in N and avgdl) are
+    # just the driver-side fold of the per-shard rows. On resume this
+    # covers ALL shards by construction: completed shards' partitions were
+    # already committed, the filtered rebuild just added the missing ones.
     lineage = {
         r["shard"]: r
-        for r in spark.read.parquet(os.path.join(out_dir, "documents"))
-        .groupBy("shard")
+        for r in store.groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.expr("bit_xor(doc_id)").alias("docs_fingerprint"),
@@ -643,7 +652,7 @@ def build_index(
     # and the per-term payload never crosses an Arrow boundary.
     shard_metrics_acc = spark.sparkContext.accumulator({}, _ShardMetricsParam())
     with _whole_file_scans(spark):
-        rows = spark.read.parquet(doc_text_dir).select("shard", "doc_id", "text")
+        rows = store.select("shard", "doc_id", "text")
         if only_shards is not None:
             rows = rows.filter(F.col("shard").isin(only_shards))
         postings = rows.mapInPandas(
@@ -884,8 +893,10 @@ def refresh_index(
     docs.withColumn("segment", F.lit(seg)).write.partitionBy(
         "segment", "shard"
     ).mode("overwrite").parquet(table_dir(out_dir, "doc_text", epoch))
-    seg_store = spark.read.parquet(table_dir(out_dir, "doc_text", epoch)).filter(
-        F.col("segment") == seg
+    seg_store = (
+        spark.read.schema(DOC_STORE_SCHEMA)
+        .parquet(table_dir(out_dir, "doc_text", epoch))
+        .filter(F.col("segment") == seg)
     )
     agg = seg_store.agg(
         F.count("*").alias("n_new"),
@@ -904,11 +915,7 @@ def refresh_index(
     #    enc_avgdl), from a pruned whole-file read of the segment's store
     shard_metrics_acc = spark.sparkContext.accumulator({}, _ShardMetricsParam())
     with _whole_file_scans(spark):
-        rows = (
-            spark.read.parquet(table_dir(out_dir, "doc_text", epoch))
-            .filter(F.col("segment") == seg)
-            .select("shard", "doc_id", "text")
-        )
+        rows = seg_store.select("shard", "doc_id", "text")
         postings = rows.mapInPandas(
             encode_docs_partitions(avgdl2, shard_metrics_acc, segment=seg),
             schema=POSTING_SCHEMA,

@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # partition discovery: list up to 1024 partition dirs driver-side.
+        # The default (32) fans every read of a (segment, shard)-partitioned
+        # index table out into a 100+-task distributed listing job — pure
+        # scheduler overhead at local/bench scale (measured: 4 such jobs per
+        # build, each ~128 one-file tasks). Above the threshold (e.g. 10^5
+        # shards at corpus scale) listing still distributes.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
         # per-partition overwrite (resume writes only its shards)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # v2 commit: tasks move their own output files; v1 renames every

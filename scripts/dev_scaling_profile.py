@@ -44,11 +44,18 @@ def main() -> None:
     # the 8 GB default GC-thrashes and the profile measures the heap, not
     # the engine
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    # ad-hoc conf experiments: PROF_EXTRA_CONFS="k=v,k2=v2"
+    extra = " ".join(
+        f"--conf {kv}"
+        for kv in os.environ.get("PROF_EXTRA_CONFS", "").split(",")
+        if kv
+    )
     os.environ["PYSPARK_SUBMIT_ARGS"] = (
         f"--conf spark.eventLog.enabled=true "
         f"--conf spark.eventLog.dir=file:{evdir} "
         f"--conf spark.eventLog.compress=false "
         f"--conf spark.eventLog.rolling.enabled=false "
+        f"{extra} "
         f"--conf spark.ui.showConsoleProgress=false pyspark-shell"
     )
 
