@@ -397,77 +397,63 @@ def encode_docs_partitions(avgdl: float, metrics_acc=None, segment: int = 0):
             return
         for shard, g in pdf.groupby("shard", sort=False):
             t0 = time.perf_counter()
-            # docs processed in ascending doc_id order, so postings of one
-            # term are doc-sorted by construction and ONE stable integer
-            # sort on term id below yields (term, doc_id) order — replacing
-            # the former object-dtype lexsort over term strings (the
-            # pointer-chasing hot spot of the encode stage)
+            # docs processed in ascending doc_id order, so one stable sort
+            # on (term id, doc order) below yields (term, doc_id)-ordered
+            # postings with ascending positions inside each posting. The
+            # whole shard is aggregated VECTORIZED: tokenize is the only
+            # per-token Python left — term ids come from one pd.factorize
+            # (C hash table, first-appearance order, same ids the former
+            # per-doc dict loop produced), postings from one stable argsort
+            # over an int64 (term, doc) key.
             g = g.sort_values("doc_id", kind="stable")
-            tid_of: dict[str, int] = {}
-            terms_list: list[str] = []
-            doc_list: list[int] = []
-            dl_list: list[int] = []
-            nt_list: list[int] = []
-            tid_chunks: list[list[int]] = []
-            tf_arrays: list[np.ndarray] = []
-            pos_arrays: list[np.ndarray] = []
-            for doc_id, text in zip(g["doc_id"], g["text"]):
-                toks = tokenize(text)
-                if not toks:
-                    continue
-                agg: dict[str, list[int]] = {}
-                for pos, t in enumerate(toks):
-                    agg.setdefault(t, []).append(pos)
-                doc_list.append(doc_id)
-                dl_list.append(len(toks))
-                nt_list.append(len(agg))
-                tids = []
-                for t in agg.keys():
-                    i = tid_of.setdefault(t, len(terms_list))
-                    if i == len(terms_list):
-                        terms_list.append(t)
-                    tids.append(i)
-                tid_chunks.append(tids)
-                tf_arrays.append(
-                    np.fromiter((len(v) for v in agg.values()), np.int32, len(agg))
-                )
-                pos_arrays.append(
-                    np.fromiter(chain.from_iterable(agg.values()), np.int32, len(toks))
-                )
-            if not doc_list:
+            tok_lists = [tokenize(t) for t in g["text"]]
+            counts = np.fromiter(
+                (len(l) for l in tok_lists), np.int64, len(tok_lists)
+            )
+            keep = counts > 0
+            if not keep.any():
                 continue
-            nt = np.array(nt_list, dtype=np.int64)
-            n_post = int(nt.sum())
-            doc_flat = np.repeat(np.array(doc_list, dtype=np.int64), nt)
-            dl_flat = np.repeat(np.array(dl_list, dtype=np.int64), nt)
-            tid_flat = np.fromiter(
-                chain.from_iterable(tid_chunks), np.int32, n_post
+            doc_ids_arr = g["doc_id"].to_numpy(np.int64)[keep]
+            counts_k = counts[keep]
+            all_toks = list(
+                chain.from_iterable(l for l in tok_lists if l)
             )
-            tf_flat = np.concatenate(tf_arrays)
-            abs_flat = np.concatenate(pos_arrays)
-            plens = tf_flat
-            pstarts = np.zeros(n_post, dtype=np.int64)
-            np.cumsum(plens[:-1], out=pstarts[1:])
-            order = np.argsort(tid_flat, kind="stable")
-            ln = plens[order]
-            lo = pstarts[order]
-            out_start = np.zeros(n_post, dtype=np.int64)
-            np.cumsum(ln[:-1], out=out_start[1:])
-            idx = np.repeat(lo - out_start, ln) + np.arange(
-                int(ln.sum()), dtype=np.int64
-            )
+            n_tok = int(counts_k.sum())
+            codes, uniques = pd.factorize(all_toks)
+            nd = len(counts_k)
+            doc_ord = np.repeat(np.arange(nd, dtype=np.int64), counts_k)
+            starts = np.zeros(nd, dtype=np.int64)
+            np.cumsum(counts_k[:-1], out=starts[1:])
+            # position of each token within its doc (tokens are emitted in
+            # document order, so positions ascend per doc by construction)
+            pos = np.arange(n_tok, dtype=np.int64) - np.repeat(starts, counts_k)
+            key = codes.astype(np.int64) * nd + doc_ord
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            newp = np.empty(n_tok, dtype=bool)
+            newp[0] = True
+            np.not_equal(sk[1:], sk[:-1], out=newp[1:])
+            pstart = np.flatnonzero(newp)
+            tf_flat = np.diff(np.append(pstart, n_tok))
+            first = order[pstart]
+            p_doc_ord = doc_ord[first]
+            doc_flat = doc_ids_arr[p_doc_ord]
+            dl_flat = counts_k[p_doc_ord]
+            p_tid = codes[first]
+            n_post = len(pstart)
             # term boundaries straight from the id counts (ids are dense,
             # 0..T-1, in first-appearance order; sorted stream groups them)
-            counts = np.bincount(tid_flat, minlength=len(terms_list))
-            ts = np.zeros(len(terms_list) + 1, dtype=np.int64)
-            np.cumsum(counts, out=ts[1:])
+            tcounts = np.bincount(p_tid, minlength=len(uniques))
+            ts = np.zeros(len(uniques) + 1, dtype=np.int64)
+            np.cumsum(tcounts, out=ts[1:])
+            terms_list = list(uniques)
             cols = encode_shard_frame_pre(
                 terms_list,
                 ts,
-                doc_flat[order],
-                tf_flat[order],
-                dl_flat[order],
-                (abs_flat[idx], ln),
+                doc_flat,
+                tf_flat,
+                dl_flat,
+                (pos[order], tf_flat),
                 avgdl,
             )
             out = pd.DataFrame(cols)
