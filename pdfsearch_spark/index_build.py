@@ -42,6 +42,7 @@ Scale design (the part that must survive 1000 executors × 100 TB):
 from __future__ import annotations
 
 import os
+import threading
 import time
 from contextlib import contextmanager
 
@@ -600,12 +601,30 @@ def build_index(
     # documents = the narrow catalog projection of the store: a pruned read
     # that never decodes the text column, partitioned by (segment, shard)
     # like every other table so result-assembly point lookups prune to one
-    # partition dir instead of scanning the whole doc catalog.
+    # partition dir instead of scanning the whole doc catalog. The write is
+    # submitted as a CONCURRENT job (Spark sessions are thread-safe; jobs
+    # from separate threads interleave on free task slots): it depends only
+    # on the store, nothing downstream depends on it before the stats
+    # commit, and its small scheduling-bound tasks (low occupancy) fill the
+    # gaps of the heavier stats + postings jobs instead of serializing a
+    # phase of their own. Joined (and any failure re-raised) before
+    # _write_stats — the build's commit point — so a committed build always
+    # has a complete catalog.
     meta_cols = [c for c in store.columns if c not in ("text", "part")]
-    store.select(*meta_cols).write.partitionBy("segment", "shard").mode(
-        "overwrite"
-    ).parquet(os.path.join(out_dir, "documents"))
-    _phase("documents_write")
+    doc_write: dict = {}
+
+    def _write_documents() -> None:
+        tw = time.time()
+        try:
+            store.select(*meta_cols).write.partitionBy("segment", "shard").mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "documents"))
+        except BaseException as exc:  # re-raised on join
+            doc_write["exc"] = exc
+        doc_write["sec"] = round(time.time() - tw, 2)
+
+    doc_thread = threading.Thread(target=_write_documents, name="documents_write")
+    doc_thread.start()
 
     # Per-shard lineage (input fingerprint + token counts) and the global
     # corpus stats come from ONE pruned agg over the store — the global
@@ -648,6 +667,12 @@ def build_index(
             os.path.join(out_dir, "postings")
         )
     _phase("postings_encode_write")
+
+    doc_thread.join()
+    if "exc" in doc_write:
+        raise doc_write["exc"]
+    # overlapped with stats_lineage_agg + postings above; own wall recorded
+    phases["documents_write"] = doc_write.get("sec", 0.0)
 
     # Global df/cf per term (for idf at query time) from the postings table
     # itself — a column-pruned scan of (term, df, cf), never touching the
