@@ -921,6 +921,27 @@ def refresh_index(
     total2 = int(st["total_tokens"]) + int(agg["new_tokens"] or 0)
     avgdl2 = total2 / n_docs2 if n_docs2 else 0.0
 
+    # 2b) documents partitions for the segment — the narrow projection of
+    #     the segment's store (pruned read, text never decoded) — submitted
+    #     as a CONCURRENT job (same pattern as build_index): it depends only
+    #     on seg_store, and only the lineage agg below reads it, so its
+    #     scheduling-bound tasks fill slots while the postings encode runs.
+    meta_cols = [c for c in seg_store.columns if c not in ("text", "part")]
+    doc_write: dict = {}
+
+    def _write_seg_documents() -> None:
+        try:
+            seg_store.select(*meta_cols).write.partitionBy(
+                "segment", "shard"
+            ).mode("overwrite").parquet(table_dir(out_dir, "documents", epoch))
+        except BaseException as exc:  # re-raised on join
+            doc_write["exc"] = exc
+
+    doc_thread = threading.Thread(
+        target=_write_seg_documents, name="seg_documents_write"
+    )
+    doc_thread.start()
+
     # 2) postings for the new segment (blocks encoded against the NEW avgdl;
     #    older segments' block bounds are rescaled at query time via
     #    enc_avgdl), from a pruned whole-file read of the segment's store
@@ -935,12 +956,9 @@ def refresh_index(
             table_dir(out_dir, "postings", epoch)
         )
 
-    # 2b) documents partitions for the segment: the narrow projection of the
-    #     segment's store (pruned read, text never decoded)
-    meta_cols = [c for c in seg_store.columns if c not in ("text", "part")]
-    seg_store.select(*meta_cols).write.partitionBy("segment", "shard").mode(
-        "overwrite"
-    ).parquet(table_dir(out_dir, "documents", epoch))
+    doc_thread.join()
+    if "exc" in doc_write:
+        raise doc_write["exc"]
 
     # 3) global term stats recomputed from the postings table (column-pruned
     #    scan of (term, df, cf) — blobs untouched)
