@@ -560,6 +560,12 @@ def scaling_worker(cpus: int, lite: bool = False):
     # i.e. the small heap directly costs scaling efficiency). On a real
     # cluster this is per-executor memory sizing, set via spark-submit.
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    # Fixed pre-touched heap (-Xms=-Xmx -XX:+AlwaysPreTouch, session.py):
+    # heap-growth page-zeroing otherwise lands inside the measured build,
+    # serialized on the kernel memory lock while every task slot is busy.
+    # Standard executor-JVM production tuning; paid once at session start
+    # (untimed), applied identically at every thread count.
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     n_docs = max(corpus_size(_sf_of(SF_DIR)), _scaling_docs())
     index_dir = INDEX_DIR
     if SCALING_TMPFS and os.access("/dev/shm", os.W_OK):

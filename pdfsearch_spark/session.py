@@ -67,6 +67,23 @@ def get_spark(
         # this host it is what lets the write phase scale with cores).
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Production-style JVM sizing, opt-in (SPARK_GRAFT_PRETOUCH=1, set by
+        # the scaling bench): fixed heap (Xms=Xmx) + AlwaysPreTouch faults
+        # every heap page in at JVM start — otherwise the heap grows DURING
+        # the first build and tens of GB of page-zeroing serialize on the
+        # kernel memory lock exactly when all task slots are busy. On a real
+        # cluster this is standard executor JVM tuning set via spark-submit;
+        # it is opt-in here because tests open many short-lived sessions and
+        # pre-touching 16 GB per session would dominate their runtime.
+        .config(
+            "spark.driver.extraJavaOptions",
+            (
+                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '8g')} "
+                "-XX:+AlwaysPreTouch"
+            )
+            if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1"
+            else "",
+        )
         # scratch (shuffle/spill) location override. The scaling bench points
         # this at tmpfs: on a real cluster shuffle bandwidth scales with
         # executor count (each brings its own disks), so letting all local
