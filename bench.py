@@ -468,10 +468,12 @@ SCALING_STORED_INPUT = 1  # the timed build reads a STORED corpus table
 # Iceberg table of web pages). Knob participates in the bench-code
 # fingerprint: in-job-generation history rows are not comparable.
 
-SCALING_DOCS = 500_000  # dilutes fixed per-job driver costs (job scheduling,
-# commits, small stats stages) that are O(1) in corpus size — at web scale
-# they vanish entirely, so the scaling measurement should not be dominated
-# by them either
+SCALING_DOCS = 1_000_000  # dilutes fixed per-job driver costs (job
+# scheduling, commits, small stats stages) that are O(1) in corpus size — at
+# web scale they vanish entirely, so the scaling measurement should not be
+# dominated by them either. At 500k the fixed tail was still 15-25% of the
+# 32-thread build (measured phase_sec in BENCH/history.jsonl); 1M docs
+# halves that weight while every config still runs the identical job layout
 SCALING_SHARDS = 128    # identical layout at N and 4N
 SCALING_PARTS = 256     # 8 waves at 32 threads: finer packing, shorter tails
 

@@ -49,7 +49,7 @@ from contextlib import contextmanager
 import numpy as np
 import pandas as pd
 from pyspark.accumulators import AccumulatorParam
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -588,6 +588,21 @@ def build_index(
     # read-pruned is also the only layout that still works when the corpus
     # does not fit cluster memory.
     doc_text_dir = os.path.join(out_dir, "doc_text")
+    # Global corpus stats (N, total tokens, ingest watermark — everything the
+    # encode needs for avgdl) are OBSERVED on the store write itself
+    # (CollectMetrics merges from successfully-committed tasks; no separate
+    # stats job, no second pass over the store): the encode can start the
+    # moment the store is committed. Fresh builds only — on resume the
+    # written rows cover just the rebuilt shards, while the global stats must
+    # span ALL shards, so resume falls back to the full-store agg below.
+    obs = Observation("corpus_stats") if only_shards is None else None
+    if obs is not None:
+        docs = docs.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("n_tokens"),
+            F.max("warc_ts").alias("watermark"),
+        )
     docs.withColumn("segment", F.lit(0)).write.partitionBy(
         "segment", "shard"
     ).mode("overwrite").parquet(doc_text_dir)
@@ -626,28 +641,57 @@ def build_index(
     doc_thread = threading.Thread(target=_write_documents, name="documents_write")
     doc_thread.start()
 
-    # Per-shard lineage (input fingerprint + token counts) and the global
-    # corpus stats come from ONE pruned agg over the store — the global
-    # N/avgdl/watermark (FTS5 includes zero-token docs in N and avgdl) are
-    # just the driver-side fold of the per-shard rows. On resume this
-    # covers ALL shards by construction: completed shards' partitions were
-    # already committed, the filtered rebuild just added the missing ones.
-    lineage = {
-        r["shard"]: r
-        for r in store.groupBy("shard")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.expr("bit_xor(doc_id)").alias("docs_fingerprint"),
-            F.sum("dl").alias("n_tokens"),
-            F.max("warc_ts").alias("watermark"),
-        )
-        .collect()
-    }
-    n_docs = sum(r["n_docs"] for r in lineage.values())
-    total_tokens = sum(r["n_tokens"] or 0 for r in lineage.values())
+    # Per-shard lineage (input fingerprint + token counts) is ONE pruned agg
+    # over the store. It feeds only the manifest at the very end of the
+    # build, so on a fresh build — where the global N/avgdl/watermark (FTS5
+    # includes zero-token docs in N and avgdl) already arrived via the write
+    # observation — it runs as a CONCURRENT job overlapped with the postings
+    # encode. On resume the agg is the (serialized) source of the global
+    # stats too: the store read covers ALL shards by construction —
+    # completed shards' partitions were already committed, the filtered
+    # rebuild just added the missing ones.
+    lineage: dict = {}
+    lin_state: dict = {}
+
+    def _lineage_agg() -> None:
+        tw = time.time()
+        try:
+            lineage.update(
+                {
+                    r["shard"]: r
+                    for r in store.groupBy("shard")
+                    .agg(
+                        F.count("*").alias("n_docs"),
+                        F.expr("bit_xor(doc_id)").alias("docs_fingerprint"),
+                        F.sum("dl").alias("n_tokens"),
+                        F.max("warc_ts").alias("watermark"),
+                    )
+                    .collect()
+                }
+            )
+        except BaseException as exc:  # re-raised on join
+            lin_state["exc"] = exc
+        lin_state["sec"] = round(time.time() - tw, 2)
+
+    lin_thread = None
+    if obs is not None:
+        m = obs.get
+        n_docs = int(m["n_docs"])
+        total_tokens = int(m["n_tokens"] or 0)
+        watermark = m["watermark"]
+        lin_thread = threading.Thread(target=_lineage_agg, name="lineage_agg")
+        lin_thread.start()
+    else:
+        _lineage_agg()
+        if "exc" in lin_state:
+            raise lin_state["exc"]
+        n_docs = sum(r["n_docs"] for r in lineage.values())
+        total_tokens = sum(r["n_tokens"] or 0 for r in lineage.values())
+        wms = [
+            r["watermark"] for r in lineage.values() if r["watermark"] is not None
+        ]
+        watermark = max(wms) if wms else None
     avgdl = total_tokens / n_docs if n_docs else 0.0
-    wms = [r["watermark"] for r in lineage.values() if r["watermark"] is not None]
-    watermark = max(wms) if wms else None
     _phase("stats_lineage_agg")
 
     # Postings, entirely map-side: a pruned (shard, doc_id, text) read of
@@ -673,12 +717,21 @@ def build_index(
         raise doc_write["exc"]
     # overlapped with stats_lineage_agg + postings above; own wall recorded
     phases["documents_write"] = doc_write.get("sec", 0.0)
+    if lin_thread is not None:
+        lin_thread.join()
+        if "exc" in lin_state:
+            raise lin_state["exc"]
+        # overlapped with the postings encode; own wall recorded
+        phases["lineage_agg"] = lin_state.get("sec", 0.0)
 
     # Global df/cf per term (for idf at query time) from the postings table
     # itself — a column-pruned scan of (term, df, cf), never touching the
-    # blob columns. On resume it is global by construction: the postings dir
-    # holds every completed shard.
-    post_df = spark.read.parquet(os.path.join(out_dir, "postings"))
+    # blob columns (explicit schema: no footer-inference job). On resume it
+    # is global by construction: the postings dir holds every completed
+    # shard.
+    post_df = spark.read.schema(POSTING_SCHEMA).parquet(
+        os.path.join(out_dir, "postings")
+    )
     term_stats = post_df.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
@@ -901,19 +954,25 @@ def refresh_index(
     #    extraction's ONE consumer is the full doc store write; every later
     #    step is a column-pruned read of the new segment's partitions (an
     #    empty batch writes no partitions and commits nothing).
-    docs.withColumn("segment", F.lit(seg)).write.partitionBy(
-        "segment", "shard"
-    ).mode("overwrite").parquet(table_dir(out_dir, "doc_text", epoch))
+    # The segment's global stats (doc count, token count, new watermark) are
+    # observed on the write itself (same zero-extra-job pattern as
+    # build_index): the written rows ARE the new segment, so the observation
+    # equals the former post-hoc agg over the segment's partitions.
+    obs = Observation("segment_stats")
+    docs.withColumn("segment", F.lit(seg)).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("dl").alias("new_tokens"),
+        F.max("warc_ts").alias("new_wm"),
+    ).write.partitionBy("segment", "shard").mode("overwrite").parquet(
+        table_dir(out_dir, "doc_text", epoch)
+    )
     seg_store = (
         spark.read.schema(DOC_STORE_SCHEMA)
         .parquet(table_dir(out_dir, "doc_text", epoch))
         .filter(F.col("segment") == seg)
     )
-    agg = seg_store.agg(
-        F.count("*").alias("n_new"),
-        F.sum("dl").alias("new_tokens"),
-        F.max("warc_ts").alias("new_wm"),
-    ).collect()[0]
+    agg = obs.get
     n_new = int(agg["n_new"] or 0)
     if n_new == 0:
         return {"appended_docs": 0, "segment": None, "elapsed_sec": time.time() - t0}
@@ -961,8 +1020,11 @@ def refresh_index(
         raise doc_write["exc"]
 
     # 3) global term stats recomputed from the postings table (column-pruned
-    #    scan of (term, df, cf) — blobs untouched)
-    post_df = spark.read.parquet(table_dir(out_dir, "postings", epoch))
+    #    scan of (term, df, cf) — blobs untouched; explicit schema, no
+    #    footer-inference job)
+    post_df = spark.read.schema(POSTING_SCHEMA).parquet(
+        table_dir(out_dir, "postings", epoch)
+    )
     post_df.groupBy("term").agg(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
