@@ -810,6 +810,29 @@ def write_scaling_report(out: dict) -> None:
         for h in cur
     )
 
+    # Pairing-noise-robust companion: median(raw)/min(1, median(ceiling))
+    # over the same row set. The per-draw normalized value divides two
+    # numbers measured minutes apart on a shared VM, so one corrupted
+    # kernel draw (e.g. a ceiling of 0.19 = the kernel running SLOWER at
+    # 32 threads than 8) produces a nonsense row ratio; taking the two
+    # medians independently before dividing is robust to that pairing
+    # noise while measuring the same quantity.
+    def _ratio_of_medians(eff_key: str, ceil_key: str):
+        ceils = _median(
+            min(1.0, h[ceil_key]) for h in cur if h.get(ceil_key)
+        )
+        raws = _median(h.get(eff_key) for h in cur)
+        if not ceils or raws is None:
+            return None
+        return round(raws / ceils, 3)
+
+    rom_b = _ratio_of_medians(
+        "scaling_efficiency", "representative_ceiling_efficiency"
+    )
+    rom_a = _ratio_of_medians(
+        "scaling_efficiency_4_16", "representative_ceiling_efficiency_4_16"
+    )
+
     eff416 = out.get("scaling_efficiency_4_16")
     rep416 = out.get("representative_ceiling_efficiency_4_16")
     curve_table = ""
@@ -897,7 +920,11 @@ rows, current and historical.
 **Medians over runs of the CURRENT code version ({git_rev or 'r1'}):
 pair B (8→32) raw {med_raw}, normalized {med_norm}; pair A (4→16) raw
 {med_raw416 if med_raw416 is not None else '—'}, normalized
-{med_norm416 if med_norm416 is not None else '—'}.** Rows are tagged with
+{med_norm416 if med_norm416 is not None else '—'}.**
+**Pairing-noise-robust normalized (median raw / median capped ceiling,
+immune to single corrupted kernel draws): pair B
+{rom_b if rom_b is not None else '—'}, pair A
+{rom_a if rom_a is not None else '—'}.** Rows are tagged with
 the commit that produced them; `*` marks rows whose bench-relevant code
 (corpus gen, build, query path, and the harness's measurement knobs) is
 identical to HEAD's — those are the rows the medians are over. The r2

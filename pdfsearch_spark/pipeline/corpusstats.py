@@ -11,11 +11,13 @@ stratum-sized table, then a join back onto the big side.
 Skew note (applies to tfidf_topk and unigram_logprob): the join key is the
 term, and term frequencies are Zipfian — the 'the' partition of a naive
 shuffle join would hold a constant fraction of the corpus. The vocab-side
-table is tiny relative to the corpus (O(|vocab|) rows), so we broadcast it
-when Spark's threshold allows and rely on AQE skew-join splitting otherwise
-(spark.sql.adaptive.enabled is on in our sessions); at 100 TB the broadcast
-is the plan you want and |vocab| (~1e8 rows of (term, count)) still fits a
-few GB executor broadcast comfortably after the partial agg.
+table is tiny relative to the corpus (O(|vocab|) rows), so by default we
+broadcast it whole — the right plan through ~1e7 terms. When the vocabulary
+is too large to broadcast (~1e8 terms of a raw web crawl), pass
+head_min=H to switch to the bounded skew decomposition in _vocab_join:
+broadcast only the head terms (provably <= total/H rows — exactly the keys
+that would straggle a shuffle), shuffle-join the tail (every key < H rows,
+so no reducer skews). Identical results either way.
 """
 
 from __future__ import annotations
@@ -35,7 +37,34 @@ def _tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+def _vocab_join(tf: DataFrame, vocab: DataFrame, weight_col: str,
+                head_min: int | None) -> DataFrame:
+    """Join the per-(doc, term) tf table to the vocab-side stats table.
+
+    head_min=None (default): broadcast the whole vocab — the right plan
+    while |vocab| fits a broadcast (toy through ~1e7 terms).
+
+    head_min=H: the skew-join decomposition for vocabularies too large to
+    broadcast (~1e8 terms at web scale). Head terms (weight >= H) are
+    broadcast-joined — there are at most total_weight/H of them, so the
+    broadcast is provably bounded no matter how Zipfian the corpus — and
+    those are exactly the keys that would straggle a shuffle join. Tail
+    terms (weight < H) go through a plain shuffle join whose per-key row
+    count is < H by construction, so no reducer skews. Results are
+    identical either way (it is purely a physical-plan split), asserted in
+    tests/test_corpusstats.py.
+    """
+    if head_min is None:
+        return tf.join(F.broadcast(vocab), "term")
+    head = vocab.filter(F.col(weight_col) >= head_min)
+    tail = vocab.filter(F.col(weight_col) < head_min)
+    return tf.join(F.broadcast(head), "term").unionByName(
+        tf.join(tail.hint("shuffle_hash"), "term")
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5,
+               head_min: int | None = None) -> DataFrame:
     """Top-k keyword extraction per document by smoothed TF-IDF.
 
     idf = ln((1 + N) / (1 + df)) + 1 (the sklearn smooth-idf formula — never
@@ -48,14 +77,16 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     Plan: explode → (doc_id, term) partial-agg count [shuffle 1] → per-term
     df [shuffle 2, vocab-sized output] → broadcast df back onto tf → per-doc
     window top-k [shuffle 3, keyed by doc_id so perfectly balanced]. Docs
-    with no tokens simply emit no rows.
+    with no tokens simply emit no rows. head_min switches the vocab join to
+    the bounded-broadcast skew decomposition (see _vocab_join) — same
+    result, the plan for vocabularies too large to broadcast whole.
     """
     tf = _tokens(docs).groupBy("doc_id", "term").agg(
         F.count("*").alias("tf")
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_docs"))
-    scored = tf.join(F.broadcast(df_), "term").crossJoin(
+    scored = _vocab_join(tf, df_, "df", head_min).crossJoin(
         F.broadcast(n_docs)
     ).select(
         "doc_id",
@@ -78,7 +109,8 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def unigram_logprob(docs: DataFrame) -> DataFrame:
+def unigram_logprob(docs: DataFrame,
+                    head_min: int | None = None) -> DataFrame:
     """Corpus-internal unigram LM scoring — the cheap analog of CCNet's
     KenLM perplexity filter: documents whose tokens are improbable under the
     corpus's own unigram distribution (rare-token soup, boilerplate hashes,
@@ -93,14 +125,15 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     Plan: one (doc_id, term) tf aggregation [shuffle 1], a vocab-sized term
     count [shuffle 2] whose grand total rides along as a broadcast scalar,
     broadcast-join back, then a per-doc weighted mean [shuffle 3 on doc_id].
-    The corpus is scanned once.
+    The corpus is scanned once. head_min: see _vocab_join (bounded-broadcast
+    skew decomposition for very large vocabularies; identical results).
     """
     tf = _tokens(docs).groupBy("doc_id", "term").agg(
         F.count("*").alias("tf")
     )
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.select(F.sum("cnt").alias("total_tokens"))
-    scored = tf.join(F.broadcast(vocab), "term").crossJoin(
+    scored = _vocab_join(tf, vocab, "cnt", head_min).crossJoin(
         F.broadcast(total)
     )
     per_doc = scored.groupBy("doc_id").agg(

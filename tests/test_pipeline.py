@@ -865,6 +865,50 @@ def test_unigram_logprob_matches_naive(spark):
     assert got[2]["mean_logprob"] < got[0]["mean_logprob"]
 
 
+def test_vocab_join_head_split_identical(spark):
+    """The head_min skew decomposition (bounded broadcast of head terms +
+    shuffle join of the tail) returns byte-identical results to the default
+    whole-vocab broadcast for both corpusstats consumers, and its physical
+    plan actually splits: one broadcast join (head) + one shuffle join
+    (tail)."""
+    from pdfsearch_spark.pipeline.corpusstats import (
+        tfidf_topk,
+        unigram_logprob,
+    )
+
+    texts = [
+        "the the the the cat apple",
+        "the the cat cat sat banana apple",
+        "zyzzyva qwerty the",
+        "apple banana cherry the the",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # head_min=3 puts 'the' (and any term with weight >= 3) on the broadcast
+    # side and everything else through the shuffle join
+    base = sorted(map(tuple, tfidf_topk(docs, k=3).collect()))
+    split = tfidf_topk(docs, k=3, head_min=3)
+    assert sorted(map(tuple, split.collect())) == base
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+    base_u = sorted(map(tuple, unigram_logprob(docs).collect()))
+    assert (
+        sorted(map(tuple, unigram_logprob(docs, head_min=3).collect()))
+        == base_u
+    )
+    # degenerate thresholds: everything-head and everything-tail both reduce
+    # to the same answer
+    assert sorted(map(tuple, tfidf_topk(docs, k=3, head_min=1).collect())) == base
+    assert (
+        sorted(map(tuple, tfidf_topk(docs, k=3, head_min=10**9).collect()))
+        == base
+    )
+
+
 def test_length_profile_exact_and_approx(spark):
     """Exact percentiles vs numpy's linear-interpolation quantiles; the
     approx (GK sketch) path stays within a loose rank tolerance of exact."""
