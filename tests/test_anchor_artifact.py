@@ -19,6 +19,22 @@ not query structure. Match SETS are never affected, only deep-rank scores,
 at ~1 per 300 random grammar queries; we keep the specification-consistent
 scoring (OR-branch-that-matched counts; non-matching branch is zero) rather
 than chase an implementation accident. Probe history: git log.
+
+SECOND DIVERGENCE FAMILY (r3, fully characterized — the parked-iterator
+credit; test_dead_not_parked_iterator_*): when the LEFT subtree of a NOT
+contains a term with df=0 (absent from the whole index, so the subtree's
+iterator is EOF at construction — proximity/adjacency failures with live
+terms do NOT count), FTS5 initializes each RIGHT-side (excluded!) phrase's
+iterator at that phrase's first row and never advances it. bm25 then
+credits that phrase's instances on exactly that one row — IF it happens to
+match the overall query via a sibling OR branch. Deterministic, but tied
+to physical rowid (insertion) order, which has no analog in a partitioned
+engine; left-side phrases are never credited; match sets are never
+affected; magnitude is the excluded phrase's standalone contribution
+(usually ~1e-6, the clamped-idf scale, since a NOT-excluded term that
+matters is typically common). We keep the state-independent semantics FTS5
+itself exhibits on every OTHER row (excluded side contributes nothing).
+First seen: fuzz seed 20260910, 1/4922 queries.
 """
 
 from __future__ import annotations
@@ -96,3 +112,118 @@ def test_anchor_artifact_rank_identical(pair, q):
     for (od, osc), (ed, esc) in zip(o, e):
         assert od == ed, f"q={q!r}: doc {od} != {ed}"
         assert abs(osc - esc) < 1e-9, f"q={q!r} doc {od}: oracle {osc} engine {esc}"
+
+
+# --------------------------------------------------------------------------
+# Family 2: the dead-NOT parked-iterator credit (module docstring). The raw
+# SQLite probes PIN the reference behavior (so a future SQLite upgrade that
+# changes it is caught), and the engine test PINS our documented divergence.
+
+DEAD_NOT_TEXTS = [
+    "hano bogus",        # rowid 1: matches via han*; first 'bogus' row
+    "hano bogus",        # rowid 2: same content — but NOT first, no credit
+    "guation bogus",     # rowid 3: matches via guation branch only
+]
+
+
+def _fts5_scores(texts, q):
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        "CREATE VIRTUAL TABLE pages USING fts5(file_id UNINDEXED, "
+        "page_num UNINDEXED, text, "
+        "tokenize='porter unicode61 remove_diacritics 2')"
+    )
+    for i, t in enumerate(texts, start=1):
+        con.execute(
+            "INSERT INTO pages(rowid, file_id, page_num, text) "
+            "VALUES (?,?,?,?)",
+            (i, i, 0, t),
+        )
+    return {
+        rowid: s
+        for rowid, s in con.execute(
+            "SELECT rowid, bm25(pages) FROM pages WHERE pages MATCH ? "
+            "ORDER BY rowid",
+            (q,),
+        )
+    }
+
+
+def test_dead_not_parked_iterator_fts5_behavior_pinned():
+    """Raw FTS5: dead NOT-left => excluded phrase credited on exactly its
+    first row; live left / AND placement / phrase-level failure => no
+    credit. If SQLite ever changes this, the engine divergence note must be
+    revisited."""
+    t = DEAD_NOT_TEXTS
+    full = _fts5_scores(t, "zzznope NOT bogus OR han* OR guation")
+    han = _fts5_scores(t, "han*")
+    bogus = _fts5_scores(t, "bogus")
+    guat = _fts5_scores(t, "guation")
+    # row 1 = han* + parked bogus credit; row 2 = han* only; row 3 = guation
+    assert abs(full[1] - (han[1] + bogus[1])) < 1e-15
+    assert abs(full[2] - han[2]) < 1e-15
+    assert abs(full[3] - guat[3]) < 1e-15
+    # left side phrases are never credited even when present
+    t2 = ["hano bogus guation guation"]
+    full2 = _fts5_scores(t2, "NEAR(zzznope guation, 2) NOT bogus OR han*")
+    han2 = _fts5_scores(t2, "han*")
+    bogus2 = _fts5_scores(t2, "bogus")
+    assert abs(full2[1] - (han2[1] + bogus2[1])) < 1e-15
+    # a live-but-never-matching left (adjacency fails) does NOT trigger
+    t3 = ["hano bogus", "sujuer zzz cimily"]
+    full3 = _fts5_scores(t3, '"sujuer cimily" NOT bogus OR han*')
+    han3 = _fts5_scores(t3, "han*")
+    assert abs(full3[1] - han3[1]) < 1e-15
+    # dead NOT under AND (or alone) yields no rows at all
+    assert _fts5_scores(["hano bogus"], "(zzznope NOT bogus) AND han*") == {}
+    assert _fts5_scores(["hano bogus"], "zzznope NOT bogus") == {}
+
+
+def test_dead_not_parked_iterator_engine_spec_consistent(spark):
+    """Engine: same corpus, the divergence is EXACTLY the parked credit on
+    the excluded phrase's first row; every other row rank-identical and the
+    match set identical everywhere."""
+    urls = [f"http://deadnot.example/d{i}" for i in range(len(DEAD_NOT_TEXTS))]
+    htmls = [
+        f"<html><body><p>{t}</p></body></html>".encode()
+        for t in DEAD_NOT_TEXTS
+    ]
+    ts = pd.to_datetime("2025-01-01")
+    pdf = pd.DataFrame(
+        {"url": urls, "warc_ts": ts, "html": htmls, "text": None, "lang": "en"}
+    )
+    pdf["text"] = [extract_text(h) for h in pdf["html"]]
+    oracle = FTS5Oracle()
+    oracle.load(pdf)
+    pages = spark.createDataFrame(
+        pdf[["url", "warc_ts", "html", "text", "lang"]]
+    )
+    idx = IDX + "_deadnot"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(spark, pages, idx, n_shards=2)
+    eng = SearchEngine(spark, idx)
+
+    q = "zzznope NOT bogus OR han* OR guation"
+    o = {r.doc_id: r.score for r in oracle.search(q, k=100)}
+    e = {
+        r["doc_id"]: r["score"]
+        for r in eng.search(q, k=100, with_snippets=False)
+        .select("doc_id", "score")
+        .collect()
+    }
+    assert set(o) == set(e)  # match sets always identical
+    bogus_credit = {
+        r.doc_id: r.score for r in oracle.search("bogus", k=100)
+    }
+    # oracle rowids follow load order: doc 0 is the excluded phrase's first
+    # row and the only divergent doc
+    from pdfsearch_spark.fnv import fnv1_64_signed
+
+    first = fnv1_64_signed(urls[0])
+    for d in o:
+        if d == first:
+            assert abs((o[d] - bogus_credit[d]) - e[d]) < 1e-9
+        else:
+            assert abs(o[d] - e[d]) < 1e-9
