@@ -17,17 +17,19 @@ scripts/dev_fuzz_queries.py and scripts/dev_fuzz_queries_batch.py):
            ancestor + a nomatch-capable sibling; engine keeps the
            specification-consistent sum, FTS5 drops a contribution; match
            SETS always agree)
-  round 3: 5000 queries (seed 20260910, batch path), 0 hard failures,
-           10 score-multiset diffs — 9 verified per-doc as the family-1
-           OR-branch-drop signature (scripts/dev_triage_artifacts.py:
-           match sets identical, FTS5 credits less in every differing
-           doc); the 10th ('NEAR(sujuer cimily, 2) NOT bogus OR han*',
-           1.46e-6, FTS5 credits MORE) was minimized to a single-doc
-           repro and fully characterized as a SECOND deterministic FTS5
-           family — the dead-NOT parked-iterator credit, pinned by raw
-           SQLite probes + an engine divergence test in
+  round 3: 7000 queries (seeds 20260910 + 20260902, batch path), 0 hard
+           failures, 14 score-multiset diffs — 13 verified per-doc as
+           the family-1 OR-branch-drop signature
+           (scripts/dev_triage_artifacts.py: match sets identical, FTS5
+           credits less in every differing doc; the seed-20260902 sweep
+           contributed 4, all family-1, 0 wrong-direction docs); the
+           other ('NEAR(sujuer cimily, 2) NOT bogus OR han*', 1.46e-6,
+           FTS5 credits MORE) was minimized to a single-doc repro and
+           fully characterized as a SECOND deterministic FTS5 family —
+           the dead-NOT parked-iterator credit, pinned by raw SQLite
+           probes + an engine divergence test in
            tests/test_anchor_artifact.py
-  total: 32400 queries (32,200 batch-path + a 200-query per-query sweep
+  total: 34400 queries (34,200 batch-path + a 200-query per-query sweep
   with byte-exact snippet diffing, seed 20260901, 200/200 rank-identical),
   0 engine bugs; the 41 score-only diffs in the eleven
   final round-2 sweeps (seeds 20260818..20260828) were each verified
