@@ -41,12 +41,27 @@ def extract_links(
 
 
 def host_graph(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    psl_rules: DataFrame | None = None,
 ) -> DataFrame:
     """(src_host, dst_host, weight): host-level edge list, self-loops
     dropped (intra-host navigation is not an endorsement signal). Hosts go
     through the same canonicalization as urlops, so 'WWW.X.com:443' and
-    'https://x.com' merge. One shuffle (the groupBy), partial-agged."""
+    'https://x.com' merge. One shuffle (the groupBy), partial-agged.
+
+    When ``psl_rules`` (a ``urlops.load_psl_rules`` frame) is supplied,
+    both endpoints are collapsed to their FULL-PSL registrable (apex)
+    domain before edge aggregation — the domain-level web graph (cf.
+    Common Crawl's host- vs domain-level graph releases), with wildcard
+    and exception suffixes resolved correctly instead of via the embedded
+    heuristic. Self-loops are re-dropped AFTER apexing (two hosts of one
+    registrable domain are intra-site). The PSL resolve is keyed on
+    DISTINCT endpoint hosts, so its cost scales with host cardinality,
+    not edge cardinality; column names are unchanged so ``pagerank`` /
+    ``degree_stats`` compose either way.
+    """
     links = extract_links(pages, url_col, html_col)
 
     def host_of(col: str):
@@ -60,6 +75,34 @@ def host_graph(
         & (F.col("dst_host") != "")
         & (F.col("src_host") != F.col("dst_host"))
     )
+    if psl_rules is not None:
+        from pdfsearch_spark.pipeline.urlops import apex_domain_psl
+
+        hosts = (
+            edges.select(F.col("src_host").alias("host"))
+            .union(edges.select(F.col("dst_host").alias("host")))
+            .distinct()
+        )
+        amap = apex_domain_psl(hosts, psl_rules, host_col="host").select(
+            "host", "apex_domain"
+        )
+        # two equi-joins on the endpoint host; the map side is host-cardinal
+        # (maybe 10^8 rows at crawl scale) so no forced broadcast — AQE
+        # picks broadcast when it actually fits
+        src_map = amap.select(
+            F.col("host").alias("src_host"), F.col("apex_domain").alias("_sa")
+        )
+        dst_map = amap.select(
+            F.col("host").alias("dst_host"), F.col("apex_domain").alias("_da")
+        )
+        edges = (
+            edges.join(src_map, "src_host")
+            .join(dst_map, "dst_host")
+            .select(
+                F.col("_sa").alias("src_host"), F.col("_da").alias("dst_host")
+            )
+            .filter(F.col("src_host") != F.col("dst_host"))
+        )
     return edges.groupBy("src_host", "dst_host").agg(
         F.count("*").alias("weight")
     )

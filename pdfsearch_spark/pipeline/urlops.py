@@ -196,7 +196,10 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def domain_stats(
-    df: DataFrame, url_col: str = "url", chars_col: str = "n_chars"
+    df: DataFrame,
+    url_col: str = "url",
+    chars_col: str = "n_chars",
+    psl_rules: DataFrame | None = None,
 ) -> DataFrame:
     """Per-apex-domain corpus profile:
     (apex_domain, n_docs, n_hosts, total_chars, n_canonical_urls).
@@ -205,12 +208,23 @@ def domain_stats(
     cardinality; n_docs / n_canonical_urls > 1 means the crawler fetched
     the same canonical page repeatedly (tracking-param explosion).
 
+    When ``psl_rules`` (a ``load_psl_rules`` frame) is supplied, apex
+    resolution uses the FULL public-suffix algorithm (``apex_domain_psl``)
+    instead of the embedded 16-suffix heuristic — the production path, so a
+    caller holding the real PSL can't silently mis-apex multi-label-suffix
+    hosts (e.g. 'a.b.test.ck' under '*.ck'). The extra cost is bounded by
+    DISTINCT-host cardinality, not corpus cardinality.
+
     Scale shape: one partial-agged shuffle on apex_domain; the two distinct
     counts ride the same exchange (Spark plans multi-distinct aggregates
     with an expand, still a single shuffle stage family, no extra pass
     over the input).
     """
     enriched = url_normalize(df, url_col)
+    if psl_rules is not None:
+        enriched = apex_domain_psl(
+            enriched.drop("apex_domain"), psl_rules, host_col="host"
+        )
     return enriched.groupBy("apex_domain").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("host").alias("n_hosts"),

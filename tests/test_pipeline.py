@@ -1115,6 +1115,76 @@ def test_domain_stats_counts(spark):
     assert out["news.co.uk"]["n_docs"] == 1
 
 
+def _psl_vector_rules(spark, tmp_path):
+    """The publicsuffix.org test-vector suffix set used by
+    test_apex_domain_psl_reference_vectors, as a load_psl_rules frame."""
+    from pdfsearch_spark.pipeline.urlops import load_psl_rules
+
+    psl = tmp_path / "psl.dat"
+    psl.write_text("com\nuk\nco.uk\njp\n*.ck\n!www.ck\n")
+    return load_psl_rules(spark, str(psl))
+
+
+def test_domain_stats_with_psl_rules(spark, tmp_path):
+    """domain_stats(psl_rules=...) resolves apexes with the FULL PSL
+    algorithm end-to-end: wildcard ('*.ck') and exception ('!www.ck')
+    hosts — which the embedded 16-suffix heuristic mis-apexes — group
+    under their correct registrable domain."""
+    from pdfsearch_spark.pipeline.urlops import domain_stats
+
+    rows = [
+        (1, "https://a.b.test.ck/x", 10),   # *.ck → apex b.test.ck
+        (2, "https://c.b.test.ck/y", 20),   # same apex, 2nd host
+        (3, "https://www.www.ck/z", 5),     # !www.ck → apex www.ck
+        (4, "https://sub.example.co.uk/w", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    rules = _psl_vector_rules(spark, tmp_path)
+    out = {r["apex_domain"]: r for r in domain_stats(df, psl_rules=rules).collect()}
+    assert set(out) == {"b.test.ck", "www.ck", "example.co.uk"}
+    bt = out["b.test.ck"]
+    assert bt["n_docs"] == 2 and bt["n_hosts"] == 2 and bt["total_chars"] == 30
+    assert out["www.ck"]["n_docs"] == 1
+    # the heuristic default (no rules) mis-apexes the wildcard-suffix hosts
+    # to the 2-label tail — the exact failure mode psl_rules closes
+    heur = {r["apex_domain"] for r in domain_stats(df).collect()}
+    assert "test.ck" in heur and "b.test.ck" not in heur
+
+
+def test_host_graph_with_psl_rules(spark, tmp_path):
+    """host_graph(psl_rules=...) collapses endpoints to FULL-PSL registrable
+    domains: hosts of one wildcard-suffix site merge, cross-host edges
+    inside one registrable domain become self-loops and are dropped, and
+    the output still composes with pagerank/degree_stats column names."""
+    from pdfsearch_spark.pipeline.linkgraph import host_graph
+
+    pages = spark.createDataFrame(
+        [
+            # two hosts, same *.ck registrable domain b.test.ck: the edge
+            # between them must vanish after apexing
+            ("https://a.b.test.ck/p",
+             '<a href="https://c.b.test.ck/x">i</a>'
+             '<a href="https://example.com/y">o</a>'),
+            ("https://c.b.test.ck/q",
+             '<a href="https://example.com/y2">o</a>'),
+            ("https://www.example.com/r",
+             '<a href="https://a.b.test.ck/z">b</a>'),
+        ],
+        "url string, html string",
+    )
+    rules = _psl_vector_rules(spark, tmp_path)
+    edges = {(r["src_host"], r["dst_host"]): r["weight"]
+             for r in host_graph(pages, psl_rules=rules).collect()}
+    assert edges == {
+        ("b.test.ck", "example.com"): 2,
+        ("example.com", "b.test.ck"): 1,
+    }
+    # without rules the heuristic keeps the raw hosts (no apexing)
+    raw = {(r["src_host"], r["dst_host"]): r["weight"]
+           for r in host_graph(pages).collect()}
+    assert ("a.b.test.ck", "c.b.test.ck") in raw
+
+
 def test_pq_encode_matches_numpy_argmin(spark):
     import numpy as np
 
