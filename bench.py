@@ -173,6 +173,17 @@ def run_build_and_search(
             dt = round(time.time() - t0, 3)
             key = f"fts:{q}"
             times[key] = min(times.get(key, dt), dt)
+    # the honest latency split (VERDICT r3 item 7): the ~0.8-1.3s single-query
+    # floor is Spark job-scheduling fixed cost, not scoring. Record (a) the
+    # p50 of a fully-warm third pass — what an interactive caller sees per
+    # query — and, below, (b) the batch-amortized per-query cost — what a
+    # workload sees when queries share one shard-scan job.
+    warm = []
+    for q in FTS_QUERIES:
+        t0 = time.time()
+        eng.search(q, k=10, with_snippets=False).collect()
+        warm.append(time.time() - t0)
+    times["fts_warm_p50"] = round(sorted(warm)[len(warm) // 2], 3)
     t0 = time.time()
     eng.search("renal failure", k=10, with_snippets=True).collect()
     times["fts+snippets:renal failure"] = round(time.time() - t0, 3)
@@ -181,7 +192,55 @@ def run_build_and_search(
     t0 = time.time()
     eng.search_batch(FTS_QUERIES, k=10).collect()
     times["fts_batch_all"] = round(time.time() - t0, 3)
+    times["fts_batch_amortized"] = round(
+        times["fts_batch_all"] / len(FTS_QUERIES), 3
+    )
     return metrics, times
+
+
+def assert_rank_identity(spark, index_dir: str, k: int = 200) -> dict:
+    """Every bench run is also a correctness run AT THE BENCH SF (VERDICT r3
+    item 4): engine top-k for the full query set vs the SQLite FTS5 oracle
+    loaded with the SAME built index's doc store (extraction byte-identity
+    is separately gated by goldens in tests/test_extract.py, so feeding the
+    oracle the engine-extracted text checks exactly the index+score layers).
+    Any docID/score diff raises — bench exits rc!=0."""
+    import sqlite3
+
+    from pdfsearch_spark.oracle import FTS5Oracle
+    from pdfsearch_spark.search import SearchEngine
+
+    t0 = time.time()
+    eng = SearchEngine(spark, index_dir)
+    pdf = eng._doc_text.select("url", "text").toPandas()
+    ora = FTS5Oracle()
+    ora.load(pdf)
+    for q in FTS_QUERIES:
+        try:
+            o_pairs = [(r.doc_id, r.score) for r in ora.search(q, k=k)]
+        except sqlite3.OperationalError as exc:  # none of FTS_QUERIES errors
+            raise AssertionError(f"oracle rejected {q!r}: {exc}") from exc
+        rows = (
+            eng.search(q, k=k, with_snippets=False)
+            .select("doc_id", "score")
+            .collect()
+        )
+        rows.sort(key=lambda r: (r["score"], r["doc_id"]))
+        e_pairs = [(r["doc_id"], r["score"]) for r in rows]
+        assert len(o_pairs) == len(e_pairs), (
+            f"rank-identity FAIL {q!r}: oracle {len(o_pairs)} rows, "
+            f"engine {len(e_pairs)}"
+        )
+        for i, ((od, osc), (ed, esc)) in enumerate(zip(o_pairs, e_pairs)):
+            assert od == ed and abs(osc - esc) < 1e-9, (
+                f"rank-identity FAIL {q!r} at rank {i}: "
+                f"oracle=({od},{osc}) engine=({ed},{esc})"
+            )
+    return {
+        "rank_identity_k": k,
+        "rank_identity_queries": len(FTS_QUERIES),
+        "rank_identity_sec": round(time.time() - t0, 3),
+    }
 
 
 def run_refresh_bench(
@@ -335,6 +394,9 @@ def bench_once(
             corpus_path=corpus_main,
         )
         if with_pipeline:
+            # correctness gate on the JUST-BUILT bench-sf index, before
+            # refresh mutates it: any rank/score diff vs FTS5 aborts the run
+            times.update(assert_rank_identity(spark, index_dir))
             times.update(run_refresh_bench(spark, n_docs, index_dir, partitions))
             times.update(run_pipeline(spark, sf_dir))
         return build, times
