@@ -556,7 +556,7 @@ def build_index(
         # shard/segment partitions behind.
         for sub in ("postings", "doc_text", "documents"):
             _hdfs_rm(spark, os.path.join(out_dir, sub))
-            _gc_epoch_dirs(spark, out_dir, sub, keep_epoch=0)
+            _gc_epoch_dirs(spark, out_dir, sub, keep_epochs=0)
     # ONE full-payload shuffle for the whole build, and it moves RAW pages:
     # the map side computes only (doc_id, shard) from url (a column-pruned
     # pandas UDF — html never enters Python pre-shuffle), rows move once
@@ -801,21 +801,33 @@ def _hdfs_rm(spark: SparkSession, path: str) -> None:
 
 
 def _gc_epoch_dirs(
-    spark: SparkSession, out_dir: str, tbl: str, keep_epoch: int
+    spark: SparkSession, out_dir: str, tbl: str, keep_epochs: int | set[int]
 ) -> None:
-    """Delete every versioned dir of `tbl` except the kept epoch, plus the
-    unversioned base dir when the kept epoch isn't 0. Sweeps ALL stale
-    epochs (not just keep_epoch-1), so orphans from a crash between commit
-    and GC are collected by the next cycle."""
+    """Delete every versioned dir of `tbl` except the kept epochs, plus the
+    unversioned base dir (= epoch 0) when 0 isn't kept. Sweeps ALL stale
+    epochs (not just the immediately previous one), so orphans from a crash
+    between commit and GC are collected by the next cycle.
+
+    Compaction passes {new, old}: the just-replaced epoch survives one full
+    compaction cycle as a reader grace window — a SearchEngine pins its
+    epoch at construction (search.py), so an engine created just before the
+    commit flip keeps resolving complete files for its whole lifetime; the
+    NEXT compaction's GC (which keeps {newer, new}) finally sweeps it."""
+    keep = (
+        {int(keep_epochs)}
+        if isinstance(keep_epochs, int)
+        else {int(k) for k in keep_epochs}
+    )
+    keep_names = {f"{tbl}.v{k}" for k in keep}
     sc = spark.sparkContext
     jpath = sc._jvm.org.apache.hadoop.fs.Path
     fs = jpath(out_dir).getFileSystem(sc._jsc.hadoopConfiguration())
     statuses = fs.globStatus(jpath(os.path.join(out_dir, f"{tbl}.v*")))
     for st in statuses or []:
         p = st.getPath()
-        if p.getName() != f"{tbl}.v{keep_epoch}":
+        if p.getName() not in keep_names:
             fs.delete(p, True)
-    if keep_epoch != 0:
+    if 0 not in keep:
         base = jpath(os.path.join(out_dir, tbl))
         if fs.exists(base):
             fs.delete(base, True)
@@ -1190,9 +1202,11 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     )
 
     # GC old epochs (post-commit; failures here leave garbage, never a
-    # broken index — swept again by the next cycle)
+    # broken index — swept again by the next cycle). The epoch we just
+    # replaced is KEPT one more cycle: readers bound to it (SearchEngine
+    # pins its epoch at init) keep complete files for their lifetime.
     for tbl in ("postings", "doc_text", "documents"):
-        _gc_epoch_dirs(spark, out_dir, tbl, keep_epoch=new_epoch)
+        _gc_epoch_dirs(spark, out_dir, tbl, keep_epochs={new_epoch, epoch})
 
     files_after = _count_parquet_files(
         spark, table_dir(out_dir, "postings", new_epoch)

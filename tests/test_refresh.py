@@ -13,6 +13,7 @@ Reference semantics mirrored: re-crawled urls keep their first version
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -134,6 +135,60 @@ def test_refresh_after_compact(spark, oracle, refreshed):
     _sh.rmtree(side, ignore_errors=True)
 
 
+def test_reader_survives_compaction_epoch_gc(spark, oracle, refreshed):
+    """GC grace window (VERDICT r3 item 9): an engine constructed BEFORE a
+    compaction commit pins the old epoch, whose dirs must survive that
+    compaction's GC — the reader keeps answering rank-identically with no
+    retry. The old epoch is swept only by the NEXT compaction cycle."""
+    import shutil as _sh
+
+    side = REFRESH_INDEX_DIR + "_grace"
+    _sh.rmtree(side, ignore_errors=True)
+    _sh.copytree(REFRESH_INDEX_DIR, side)
+
+    reader = SearchEngine(spark, side)          # pins epoch 0
+    assert reader.epoch == 0
+    before = {
+        (r["doc_id"], r["score"])
+        for r in reader.search("renal failure", k=50, with_snippets=False)
+        .select("doc_id", "score").collect()
+    }
+
+    assert compact_index(spark, side)["compacted"] is True
+    # grace: epoch-0 dirs (the unversioned base) still present post-GC
+    for tbl in ("postings", "doc_text", "documents"):
+        assert os.path.exists(os.path.join(side, tbl)), tbl
+        assert os.path.exists(os.path.join(side, f"{tbl}.v1")), tbl
+    # the pinned reader still resolves complete files — identical answers,
+    # including a query it has never planned before (cold file access)
+    after = {
+        (r["doc_id"], r["score"])
+        for r in reader.search("renal failure", k=50, with_snippets=False)
+        .select("doc_id", "score").collect()
+    }
+    assert after == before
+    assert reader.search('"renal failure"', k=20, with_snippets=True).count() > 0
+    # a NEW engine binds the new epoch
+    assert SearchEngine(spark, side).epoch == 1
+
+    # next cycle: refresh (to make compaction non-trivial) + compact sweeps
+    # epoch 0 but keeps epoch 1 as the new grace epoch
+    extra = (
+        corpus.web_pages_df(spark, N_DOCS, partitions=8)
+        .limit(5)
+        .withColumn("url", F.concat(F.lit("http://grace.example/"), F.col("url")))
+        .withColumn("warc_ts", F.expr("warc_ts + INTERVAL 900 DAYS"))
+    )
+    assert refresh_index(spark, extra, side)["appended_docs"] == 5
+    res2 = compact_index(spark, side)
+    assert res2["compacted"] is True and res2["epoch"] == 2
+    for tbl in ("postings", "doc_text", "documents"):
+        assert not os.path.exists(os.path.join(side, tbl)), tbl
+        assert os.path.exists(os.path.join(side, f"{tbl}.v1")), tbl
+        assert os.path.exists(os.path.join(side, f"{tbl}.v2")), tbl
+    _sh.rmtree(side, ignore_errors=True)
+
+
 def test_kill_during_compact_never_half_swaps(spark, oracle, refreshed):
     """Crash-safety of the versioned-root commit: a compaction killed at ANY
     point before the stats flip leaves readers on the old epoch's complete
@@ -180,15 +235,17 @@ def test_kill_during_compact_never_half_swaps(spark, oracle, refreshed):
     # the orphan next-epoch dirs may exist; they are invisible to readers
     assert os.path.exists(table_dir(side, "postings", 0))
 
-    # rerun to completion: epoch flips, old dirs GC'd, results identical
+    # rerun to completion: epoch flips, results identical; the replaced
+    # epoch-0 dirs are KEPT one cycle as the in-flight-reader grace window
+    # (test_reader_survives_compaction_epoch_gc covers their later sweep)
     res = compact_index(spark, side)
     assert res["compacted"] is True and res["epoch"] == 1
     st2 = spark.read.parquet(side + "/stats").collect()[0]
     assert int(st2["epoch"]) == 1 and int(st2["n_segments"]) == 1
     assert os.path.exists(table_dir(side, "postings", 1))
-    assert not os.path.exists(os.path.join(side, "postings"))
-    assert not os.path.exists(os.path.join(side, "doc_text"))
-    assert not os.path.exists(os.path.join(side, "documents"))
+    assert os.path.exists(os.path.join(side, "postings"))
+    assert os.path.exists(os.path.join(side, "doc_text"))
+    assert os.path.exists(os.path.join(side, "documents"))
     assert results() == before
     _sh.rmtree(side, ignore_errors=True)
 
