@@ -33,6 +33,9 @@ sys.exit(main())
 def build() -> str:
     os.makedirs(DIST, exist_ok=True)
     zpath = os.path.join(DIST, "pdfsearch_spark.zip")
+    # fixed mtime → byte-identical zip for identical package contents, so
+    # rebuilding in an unrelated commit can't churn binary history
+    fixed_date = (2026, 1, 1, 0, 0, 0)
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
         for dirpath, dirnames, filenames in os.walk(PKG):
             dirnames[:] = [d for d in dirnames if d != "__pycache__"]
@@ -41,7 +44,11 @@ def build() -> str:
                     continue
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, ROOT)
-                z.write(full, rel)
+                info = zipfile.ZipInfo(rel, date_time=fixed_date)
+                info.compress_type = zipfile.ZIP_DEFLATED
+                info.external_attr = 0o644 << 16
+                with open(full, "rb") as src:
+                    z.writestr(info, src.read())
     with open(os.path.join(DIST, "cli_entry.py"), "w") as f:
         f.write(ENTRY)
     return zpath
