@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The decode step is STUBBED (no image/audio libraries in this environment —
-decode_media raises NotImplementedError, exactly as documented in the build
-brief); everything Spark-side is real and tested: schema, partitioning, the
-mapInPandas batch shape, and a deterministic fake feature extractor
-(byte-histogram) standing in for a real CNN/fbank featurizer.
+Decode arms: image/* does a REAL Pillow decode and video/* a REAL PyAV
+frame decode when those OPTIONAL libs are importable on the executor;
+in this lib-less container both raise NotImplementedError and every
+pipeline entry point falls back row-locally to a deterministic fake
+(byte-tiling images, byte-frame video, byte-histogram features), so the
+Spark-side plumbing — schema, partitioning, the mapInPandas batch shape —
+is real and tested either way. Audio stays fake-only (no plausible
+optional lib here).
 
 At 100 TB the shape matters more than the stub: media bytes travel as
 parquet binary, never through the driver; feature extraction is Arrow-batched
@@ -51,27 +54,73 @@ def _image_lib():
         return None
 
 
-def decode_media(media: bytes, media_type: str) -> np.ndarray:
-    """Real image decode → uint8 grayscale array, via the OPTIONAL Pillow
-    dependency. Raises NotImplementedError when the lib is absent (this
-    container) or the media_type has no decoder — callers that need a
-    total function use decode_image (fake fallback).
+def _video_lib():
+    """PyAV if importable (optional dependency), else None — resolved at
+    call time inside each executor, like _image_lib."""
+    try:
+        import av
 
-    Audio/video decode would hang off the same dispatch (torchaudio /
-    pyav); only the image arm is wired because only Pillow is a plausible
-    executor dependency here."""
-    Image = _image_lib()
-    if Image is None:
+        return av
+    except ImportError:
+        return None
+
+
+def decode_media(media: bytes, media_type: str) -> np.ndarray:
+    """Real media decode → uint8 grayscale array, via OPTIONAL executor
+    dependencies: Pillow for image/*, PyAV for video/* (first frame).
+    Raises NotImplementedError when the needed lib is absent (this
+    container has neither) or the media_type has no decoder — callers that
+    need a total function use decode_image (fake fallback).
+
+    Audio would hang off the same dispatch (torchaudio/soundfile); it
+    stays un-wired because neither is a plausible executor dependency
+    here."""
+    mt = media_type or ""
+    if mt.startswith("image/"):
+        Image = _image_lib()
+        if Image is None:
+            raise NotImplementedError(
+                "image decoding requires Pillow, not present in this "
+                "container; decode_image falls back to the deterministic fake"
+            )
+        import io
+
+        with Image.open(io.BytesIO(media)) as img:
+            return np.asarray(img.convert("L"), dtype=np.uint8)
+    if mt.startswith("video/"):
+        return decode_video_frames(media, media_type, stride=1)[0]
+    raise NotImplementedError(f"no decoder wired for {media_type!r}")
+
+
+def decode_video_frames(
+    media: bytes, media_type: str, stride: int = 1
+) -> list[np.ndarray]:
+    """Real video decode → every ``stride``-th frame as a uint8 grayscale
+    array, via the OPTIONAL PyAV dependency (the executor-side lib a real
+    cluster would ship for frame sampling). Raises NotImplementedError when
+    PyAV is absent or the type isn't video/* — frame_sample(decode=True)
+    catches that per row and falls back to the deterministic byte-frame
+    sampler, so the pipeline output is total either way."""
+    av = _video_lib()
+    if av is None:
         raise NotImplementedError(
-            "media decoding requires image libraries not present in this "
-            "container; decode_image falls back to the deterministic fake"
+            "video decoding requires PyAV, not present in this container; "
+            "frame_sample falls back to the deterministic byte-frame sampler"
         )
-    if not (media_type or "").startswith("image/"):
-        raise NotImplementedError(f"no decoder wired for {media_type!r}")
+    if not (media_type or "").startswith("video/"):
+        raise NotImplementedError(f"no video decoder for {media_type!r}")
     import io
 
-    with Image.open(io.BytesIO(media)) as img:
-        return np.asarray(img.convert("L"), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    with av.open(io.BytesIO(media)) as container:
+        for i, frame in enumerate(container.decode(video=0)):
+            if i % stride == 0:
+                frames.append(
+                    frame.to_ndarray(format="gray").astype(np.uint8)
+                )
+    if not frames:
+        raise NotImplementedError("container decoded to zero video frames")
+    return frames
 
 
 def decode_image(
@@ -184,13 +233,20 @@ def frame_sample(
     media_df: DataFrame,
     frame_bytes: int = FRAME_BYTES,
     stride: int = FRAME_STRIDE,
+    decode: bool = False,
 ) -> DataFrame:
     """(doc_id, frame_idx, n_frames, frame_md5): treat each media payload as
     a video of fixed-size byte frames and sample every ``stride``-th one —
     entirely JVM-side codegen (sequence + explode + binary substring + md5),
     no Python in the path. Zero-length payloads yield one empty frame 0, so
     every doc appears in the output (a frame-sampler that silently drops
-    undecodable docs hides data loss at scale)."""
+    undecodable docs hides data loss at scale).
+
+    ``decode=True`` routes through the REAL container decoder instead
+    (frame_sample_decoded: PyAV frames for video/* rows when the optional
+    lib is present, per-row fallback to this byte-frame math otherwise)."""
+    if decode:
+        return frame_sample_decoded(media_df, frame_bytes, stride)
     n_frames = F.expr(
         f"greatest(cast((length(media) + {frame_bytes - 1}) div {frame_bytes} "
         "as int), 1)"
@@ -215,6 +271,66 @@ def frame_sample(
                 )
             ).alias("frame_md5"),
         )
+    )
+
+
+def frame_sample_decoded(
+    media_df: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """frame_sample's real-decode arm: Arrow-batched mapInPandas where each
+    video/* row is decoded with PyAV (every ``stride``-th real frame,
+    frame_md5 = md5 of the grayscale pixel buffer) and every other row —
+    non-video type, absent lib, undecodable bytes — falls back to the SAME
+    byte-frame math as the codegen frame_sample, row-locally and never
+    job-fatally. In a lib-less environment the output is therefore
+    bit-identical to frame_sample(decode=False)."""
+    import hashlib
+
+    has_type = "media_type" in media_df.columns
+    cols = ["doc_id", "media"] + (["media_type"] if has_type else [])
+
+    def fn(it):
+        for pdf in it:
+            ids, idxs, counts, md5s = [], [], [], []
+            types = (
+                pdf["media_type"]
+                if has_type
+                else ["application/octet-stream"] * len(pdf)
+            )
+            for doc_id, m, mt in zip(pdf["doc_id"], pdf["media"], types):
+                buf = bytes(m) if m is not None else b""
+                rows: list[tuple[int, int, str]] = []
+                try:
+                    frames = decode_video_frames(buf, mt, stride=1)
+                    n = len(frames)
+                    for i in range(0, n, stride):
+                        rows.append(
+                            (i, n, hashlib.md5(frames[i].tobytes()).hexdigest())
+                        )
+                except Exception:  # absent lib / non-video / broken bytes
+                    n = max((len(buf) + frame_bytes - 1) // frame_bytes, 1)
+                    for i in range(0, n, stride):
+                        chunk = buf[i * frame_bytes : (i + 1) * frame_bytes]
+                        rows.append((i, n, hashlib.md5(chunk).hexdigest()))
+                for i, n, h in rows:
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    counts.append(n)
+                    md5s.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(counts, dtype="int32"),
+                    "frame_md5": md5s,
+                }
+            )
+
+    return media_df.select(*cols).mapInPandas(
+        fn,
+        schema="doc_id long, frame_idx int, n_frames int, frame_md5 string",
     )
 
 
