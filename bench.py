@@ -834,18 +834,21 @@ def write_scaling_report(out: dict) -> None:
         return "" if v is None else v
 
     def _norm(h, eff_key: str, ceil_key: str):
-        """Row-consistent normalized efficiency: raw / min(1, ceiling) — the
-        1.0 cap applied retroactively so history rows recorded before the cap
-        get the same treatment as new ones (falls back to the stored value
-        when the row predates the ceiling fields)."""
+        """Row-consistent normalized efficiency: min(1, raw / min(1, ceiling))
+        — both caps applied retroactively so history rows recorded before
+        them get the same treatment as new ones (falls back to the stored
+        value when the row predates the ceiling fields). The outer cap stops
+        a contention-corrupted kernel draw (ceiling far below the build's own
+        ratio) from reporting >1 'efficiency' and inflating medians."""
         e, c = h.get(eff_key), h.get(ceil_key)
         if e is None or not c:
-            return h.get(
+            v = h.get(
                 "ceiling_normalized_efficiency"
                 if eff_key == "scaling_efficiency"
                 else "ceiling_normalized_efficiency_4_16"
             )
-        return round(e / min(1.0, c), 3)
+            return None if v is None else min(1.0, v)
+        return min(1.0, round(e / min(1.0, c), 3))
 
     hist_rows = "\n".join(
         f"| {h.get('git', 'r1')}{' *' if _same_code(h) else ''} | "
@@ -892,7 +895,7 @@ def write_scaling_report(out: dict) -> None:
         raws = _median(h.get(eff_key) for h in cur)
         if not ceils or raws is None:
             return None
-        return round(raws / ceils, 3)
+        return min(1.0, round(raws / ceils, 3))
 
     rom_b = _ratio_of_medians(
         "scaling_efficiency", "representative_ceiling_efficiency"
@@ -900,6 +903,24 @@ def write_scaling_report(out: dict) -> None:
     rom_a = _ratio_of_medians(
         "scaling_efficiency_4_16", "representative_ceiling_efficiency_4_16"
     )
+
+    # Contention-gated medians (VERDICT r3 item 3): a representative-kernel
+    # ceiling below ~0.4 means the PURE kernel — zero shuffle, zero driver —
+    # scaled worse than 1.6x from 4x threads during that draw, i.e. the
+    # host itself was collapsed; such draws measure the VM's neighbors, not
+    # this code. The gate uses only kernel-side evidence (never the build's
+    # own numbers), so it cannot cherry-pick good build draws.
+    KERNEL_GATE = 0.4
+    gated = [
+        h for h in cur
+        if (h.get("representative_ceiling_efficiency") or 0) >= KERNEL_GATE
+    ]
+    gmed_raw = _median(h["scaling_efficiency"] for h in gated)
+    gmed_norm = _median(
+        _norm(h, "scaling_efficiency", "representative_ceiling_efficiency")
+        for h in gated
+    )
+    n_gated, n_cur = len(gated), len(cur)
 
     eff416 = out.get("scaling_efficiency_4_16")
     rep416 = out.get("representative_ceiling_efficiency_4_16")
@@ -996,7 +1017,12 @@ pair B (8→32) raw {med_raw}, normalized {med_norm}; pair A (4→16) raw
 **Pairing-noise-robust normalized (median raw / median capped ceiling,
 immune to single corrupted kernel draws): pair B
 {rom_b if rom_b is not None else '—'}, pair A
-{rom_a if rom_a is not None else '—'}.** Rows are tagged with
+{rom_a if rom_a is not None else '—'}.**
+**Contention-gated pair-B medians (draws whose string-kernel ceiling ≥ 0.4 —
+kernel-side evidence only, so the gate cannot cherry-pick build draws;
+{n_gated}/{n_cur} current-code draws pass): raw
+{gmed_raw if gmed_raw is not None else '—'}, normalized
+{gmed_norm if gmed_norm is not None else '—'}.** Rows are tagged with
 the commit that produced them; `*` marks rows whose bench-relevant code
 (corpus gen, build, query path, and the harness's measurement knobs) is
 identical to HEAD's — those are the rows the medians are over. The r2
