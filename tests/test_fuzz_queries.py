@@ -65,7 +65,7 @@ def _gen_query(rng, vocab) -> str:
         return vocab[int(rng.integers(0, len(vocab)))]
 
     def atom(depth):
-        r = int(rng.integers(0, 18))
+        r = int(rng.integers(0, 21))
         if r <= 3:
             return term()
         if r == 4:
@@ -114,6 +114,27 @@ def _gen_query(rng, vocab) -> str:
             if form == 2:
                 return f"text:({term()} OR {term()})"
             return f"-text:({term()} {term()})"
+        # r4 additions (VERDICT r3 item 6): anchored phrases under NOT,
+        # prefix inside NEAR, multi-phrase NEAR — acceptance parity with
+        # FTS5 probe-checked before these arms were added
+        if r == 18:
+            ph = f'^"{term()} {term()}"'
+            form = int(rng.integers(0, 3))
+            if form == 0:
+                return ph
+            if form == 1:
+                return f"{term()} NOT {ph}"
+            return f"{ph} NOT {term()}"
+        if r == 19:
+            p = f"{term()[: int(rng.integers(3, 5))]}*"
+            if int(rng.integers(0, 2)):
+                return f"NEAR({p} {term()}, {int(rng.integers(1, 8))})"
+            return f"NEAR({term()} {p}, {int(rng.integers(1, 8))})"
+        if r == 20:
+            return (
+                f"NEAR({term()} {term()} {term()}, "
+                f"{int(rng.integers(1, 10))})"
+            )
         return f"{term()} {term()}"
 
     n = int(rng.integers(1, 3))
