@@ -29,7 +29,12 @@ scripts/dev_fuzz_queries.py and scripts/dev_fuzz_queries_batch.py):
            the dead-NOT parked-iterator credit, pinned by raw SQLite
            probes + an engine divergence test in
            tests/test_anchor_artifact.py
-  total: 34400 queries (34,200 batch-path + a 200-query per-query sweep
+  round 4: 5000 queries (seed 20260821, batch path, extended grammar —
+           arms 18-20 below), 0 hard failures, 4 score-multiset diffs,
+           all four triaged per-doc (match sets identical, FTS5 credits
+           less in every differing doc, 0 wrong-direction docs) — the
+           documented FTS5-credits-less families; no new family
+  total: 39400 queries (39,200 batch-path + a 200-query per-query sweep
   with byte-exact snippet diffing, seed 20260901, 200/200 rank-identical),
   0 engine bugs; the 41 score-only diffs in the eleven
   final round-2 sweeps (seeds 20260818..20260828) were each verified
@@ -155,6 +160,19 @@ def _pairs_oracle(oracle, q, k):
     return sorted((r.doc_id, r.score) for r in oracle.search(q, k=k))
 
 
+def _family1_artifact_signature(o, e) -> bool:
+    """True iff a score diff matches the documented family-1 FTS5 artifact
+    exactly: identical match SETS and FTS5 scoring strictly less relevant
+    (score closer to zero — both engines emit negated BM25) on EVERY
+    differing doc. Family 2 (dead-NOT parked-iterator, FTS5 credits MORE)
+    and any unknown divergence do NOT pass and must be investigated."""
+    om, em = dict(o), dict(e)
+    if set(om) != set(em):
+        return False
+    diff = [(om[d], em[d]) for d in om if abs(om[d] - em[d]) >= 1e-9]
+    return bool(diff) and all(osc > esc for osc, esc in diff)
+
+
 def _diff_one(engine, oracle, q: str) -> str | None:
     """Returns None if engine and oracle agree (results OR error-ness)."""
     import sqlite3
@@ -186,6 +204,14 @@ def _diff_one(engine, oracle, q: str) -> str | None:
     e_scores = sorted(s for _, s in e)
     for a, b in zip(o_scores, e_scores):
         if abs(a - b) >= 1e-9:
+            if _family1_artifact_signature(o, e):
+                # the documented deterministic FTS5-side OR-branch-drop
+                # (tests/test_anchor_artifact.py): identical match sets,
+                # FTS5 crediting strictly less on EVERY differing doc.
+                # Same per-doc verification the batch-sweep triage applies
+                # (scripts/dev_triage_artifacts.py); anything outside this
+                # signature still fails loudly below.
+                return None
             return f"q={q!r}: score multiset differs: {a} vs {b}"
     boundary = max(o_scores)
     o_strict = {d for d, s in o if s < boundary - 1e-9}
