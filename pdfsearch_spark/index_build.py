@@ -4,14 +4,29 @@ the Spark-first way — SURVEY.md §3.A).
 
 Layout (partitioned Parquet warehouse; Iceberg would use the same schema):
 
-  <out>/documents/    doc_id, url, host, base_name, warc_ts, lang, dl, shard
-  <out>/doc_text/     shard / full doc store: text + part + every documents
+  <out>/doc_text/     shard / full doc store: text + part + every metadata
                       column (snippet source; the build's later stages are
                       column-pruned reads of this table)
-  <out>/term_stats/   term, df, cf                        (global, for idf)
   <out>/postings/     shard / term, df, cf, blobs + block metadata
   <out>/stats/        n_docs, avgdl, total_tokens, n_terms
   <out>/_build_state/ per-shard manifest: lineage + build metrics
+
+Two former physical tables are now DERIVED views (format 6), because on a
+columnar store they were pure redundancy and each cost the build (and every
+refresh) a fixed-tail Spark job that Amdahl-floored scaling efficiency
+(BENCH/PAIRB_BREAKDOWN.md: the only phases below 0.8-of-kernel):
+
+- ``documents`` (the narrow doc catalog) == a column-pruned read of
+  ``doc_text``: parquet reads only the selected column chunks, so scanning
+  doc_text for (doc_id, base_name, ...) does the exact I/O the separate
+  table did, with the same (segment, shard) partition pruning — minus one
+  write job per build/refresh and one rewrite per compaction.
+- ``term_stats`` (term → global df/cf, for idf) == sum over the postings
+  table's own (term, df, cf) metadata columns. Query-side df lookup is a
+  pruned postings scan (term is the sort key within each file, so row-group
+  min/max stats prune In/StartsWith) summed driver-side over ≤ shards×terms
+  rows — no job writes the vocabulary, and a segment refresh no longer pays
+  a full-vocabulary groupBy: refresh cost is O(batch), not O(vocab).
 
 Scale design (the part that must survive 1000 executors × 100 TB):
 
@@ -67,7 +82,9 @@ SHARD_DEFAULT = 32
 
 # On-disk index format version (bumped on any postings/stats schema change);
 # readers refuse a mismatched index instead of misreading it.
-INDEX_FORMAT = 5
+# 6: documents + term_stats are no longer materialized (derived from
+#    doc_text / postings; see module docstring).
+INDEX_FORMAT = 6
 
 
 def table_dir(out_dir: str, tbl: str, epoch: int = 0) -> str:
@@ -554,7 +571,7 @@ def build_index(
         # (needed for resume/refresh) only replaces partitions present in the
         # output, so a rebuild over an old dir would otherwise leave orphan
         # shard/segment partitions behind.
-        for sub in ("postings", "doc_text", "documents"):
+        for sub in ("postings", "doc_text"):
             _hdfs_rm(spark, os.path.join(out_dir, sub))
             _gc_epoch_dirs(spark, out_dir, sub, keep_epochs=0)
     # ONE full-payload shuffle for the whole build, and it moves RAW pages:
@@ -613,33 +630,10 @@ def build_index(
     # DataFrame, instead of a fresh listing + footer job per consumer.
     store = spark.read.schema(DOC_STORE_SCHEMA).parquet(doc_text_dir)
 
-    # documents = the narrow catalog projection of the store: a pruned read
-    # that never decodes the text column, partitioned by (segment, shard)
-    # like every other table so result-assembly point lookups prune to one
-    # partition dir instead of scanning the whole doc catalog. The write is
-    # submitted as a CONCURRENT job (Spark sessions are thread-safe; jobs
-    # from separate threads interleave on free task slots): it depends only
-    # on the store, nothing downstream depends on it before the stats
-    # commit, and its small scheduling-bound tasks (low occupancy) fill the
-    # gaps of the heavier stats + postings jobs instead of serializing a
-    # phase of their own. Joined (and any failure re-raised) before
-    # _write_stats — the build's commit point — so a committed build always
-    # has a complete catalog.
-    meta_cols = [c for c in store.columns if c not in ("text", "part")]
-    doc_write: dict = {}
-
-    def _write_documents() -> None:
-        tw = time.time()
-        try:
-            store.select(*meta_cols).write.partitionBy("segment", "shard").mode(
-                "overwrite"
-            ).parquet(os.path.join(out_dir, "documents"))
-        except BaseException as exc:  # re-raised on join
-            doc_write["exc"] = exc
-        doc_write["sec"] = round(time.time() - tw, 2)
-
-    doc_thread = threading.Thread(target=_write_documents, name="documents_write")
-    doc_thread.start()
+    # The narrow doc catalog ("documents") is NOT materialized: it is the
+    # store minus the text column, and parquet readers that select only the
+    # metadata columns already skip the text column chunks — same I/O, same
+    # (segment, shard) partition pruning, one fewer write job (format 6).
 
     # Per-shard lineage (input fingerprint + token counts) is ONE pruned agg
     # over the store. It feeds only the manifest at the very end of the
@@ -712,11 +706,6 @@ def build_index(
         )
     _phase("postings_encode_write")
 
-    doc_thread.join()
-    if "exc" in doc_write:
-        raise doc_write["exc"]
-    # overlapped with stats_lineage_agg + postings above; own wall recorded
-    phases["documents_write"] = doc_write.get("sec", 0.0)
     if lin_thread is not None:
         lin_thread.join()
         if "exc" in lin_state:
@@ -724,19 +713,9 @@ def build_index(
         # overlapped with the postings encode; own wall recorded
         phases["lineage_agg"] = lin_state.get("sec", 0.0)
 
-    # Global df/cf per term (for idf at query time) from the postings table
-    # itself — a column-pruned scan of (term, df, cf), never touching the
-    # blob columns (explicit schema: no footer-inference job). On resume it
-    # is global by construction: the postings dir holds every completed
-    # shard.
-    post_df = spark.read.schema(POSTING_SCHEMA).parquet(
-        os.path.join(out_dir, "postings")
-    )
-    term_stats = post_df.groupBy("term").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    )
-    term_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
-    _phase("term_stats")
+    # No term_stats job: global df/cf per term is derivable from the
+    # postings table's own (term, df, cf) columns, and the query side reads
+    # it pruned (format 6; see module docstring).
 
     _write_stats(spark, out_dir, n_docs, avgdl, total_tokens, n_shards, 1, watermark)
 
@@ -910,7 +889,7 @@ def refresh_index(
     segment append — no existing postings are rewritten).
 
     A refresh writes one new SEGMENT: docs newer than the index watermark get
-    their own complete postings/doc_text/documents partitions under
+    their own complete postings/doc_text partitions under
     ``segment=<n>``. Doc ids are hash-sharded, so every doc's postings still
     land in its shard — a query stays shard-local and evaluates each segment
     independently (segments partition the doc space; scorer merges).
@@ -948,9 +927,11 @@ def refresh_index(
         new_pages = new_pages.filter(F.col("warc_ts") > F.lit(watermark))
     pre = ids_and_shards(new_pages, n_shards)
     # committed docs only (segment < seg): a crashed attempt's orphan
-    # documents partition must not mask its docs out of the redo batch
+    # doc_text partition must not mask its docs out of the redo batch.
+    # Column-pruned read of the store — text chunks never touched.
     old_ids = (
-        spark.read.parquet(table_dir(out_dir, "documents", epoch))
+        spark.read.schema(DOC_STORE_SCHEMA)
+        .parquet(table_dir(out_dir, "doc_text", epoch))
         .filter(F.col("segment") < seg)
         .select("doc_id")
     )
@@ -992,27 +973,6 @@ def refresh_index(
     total2 = int(st["total_tokens"]) + int(agg["new_tokens"] or 0)
     avgdl2 = total2 / n_docs2 if n_docs2 else 0.0
 
-    # 2b) documents partitions for the segment — the narrow projection of
-    #     the segment's store (pruned read, text never decoded) — submitted
-    #     as a CONCURRENT job (same pattern as build_index): it depends only
-    #     on seg_store, and only the lineage agg below reads it, so its
-    #     scheduling-bound tasks fill slots while the postings encode runs.
-    meta_cols = [c for c in seg_store.columns if c not in ("text", "part")]
-    doc_write: dict = {}
-
-    def _write_seg_documents() -> None:
-        try:
-            seg_store.select(*meta_cols).write.partitionBy(
-                "segment", "shard"
-            ).mode("overwrite").parquet(table_dir(out_dir, "documents", epoch))
-        except BaseException as exc:  # re-raised on join
-            doc_write["exc"] = exc
-
-    doc_thread = threading.Thread(
-        target=_write_seg_documents, name="seg_documents_write"
-    )
-    doc_thread.start()
-
     # 2) postings for the new segment (blocks encoded against the NEW avgdl;
     #    older segments' block bounds are rescaled at query time via
     #    enc_avgdl), from a pruned whole-file read of the segment's store
@@ -1027,25 +987,15 @@ def refresh_index(
             table_dir(out_dir, "postings", epoch)
         )
 
-    doc_thread.join()
-    if "exc" in doc_write:
-        raise doc_write["exc"]
+    # 3) term stats: NOT rewritten. Global df/cf stays derivable from the
+    #    postings table (all segments), so a segment append costs O(batch)
+    #    — the former full-vocabulary groupBy rewrite per refresh is gone
+    #    (format 6).
 
-    # 3) global term stats recomputed from the postings table (column-pruned
-    #    scan of (term, df, cf) — blobs untouched; explicit schema, no
-    #    footer-inference job)
-    post_df = spark.read.schema(POSTING_SCHEMA).parquet(
-        table_dir(out_dir, "postings", epoch)
-    )
-    post_df.groupBy("term").agg(
-        F.sum("df").alias("df"), F.sum("cf").alias("cf")
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_stats"))
-
-    # 4) per-shard lineage + metrics for the manifest
+    # 4) per-shard lineage + metrics for the manifest (pruned store read)
     lineage = {
         r["shard"]: r
-        for r in spark.read.parquet(table_dir(out_dir, "documents", epoch))
-        .filter(F.col("segment") == seg)
+        for r in seg_store
         .groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1177,15 +1127,14 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         )
     finally:
         spark.conf.set(coalesce_key, prev)
-    for tbl in ("doc_text", "documents"):
-        df = spark.read.parquet(table_dir(out_dir, tbl, epoch)).withColumn(
-            "segment", F.lit(0)
-        )
-        if tbl == "doc_text":
-            df = df.repartition(n_shards, F.col("shard"))
-        df.write.partitionBy("segment", "shard").mode("overwrite").parquet(
-            table_dir(out_dir, tbl, new_epoch)
-        )
+    df = (
+        spark.read.parquet(table_dir(out_dir, "doc_text", epoch))
+        .withColumn("segment", F.lit(0))
+        .repartition(n_shards, F.col("shard"))
+    )
+    df.write.partitionBy("segment", "shard").mode("overwrite").parquet(
+        table_dir(out_dir, "doc_text", new_epoch)
+    )
 
     # COMMIT: flip the epoch in stats. Until this write lands, readers
     # resolve the old epoch's complete dirs.
@@ -1205,7 +1154,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     # broken index — swept again by the next cycle). The epoch we just
     # replaced is KEPT one more cycle: readers bound to it (SearchEngine
     # pins its epoch at init) keep complete files for their lifetime.
-    for tbl in ("postings", "doc_text", "documents"):
+    for tbl in ("postings", "doc_text"):
         _gc_epoch_dirs(spark, out_dir, tbl, keep_epochs={new_epoch, epoch})
 
     files_after = _count_parquet_files(

@@ -8,7 +8,7 @@ SURVEY.md §2.5 Q2):
   k1 = 1.2, b = 0.75; N and avgdl include zero-token docs
 
 - df_p is the phrase's GLOBAL, modifier-aware doc frequency: plain terms use
-  term_stats; multi-term phrases / prefixes / anchored phrases count docs
+  the postings-derived dictionary; multi-term phrases / prefixes / anchored phrases count docs
   with ≥1 instance of the phrase alone (independent of the boolean tree).
 - tf_vis = instances visible under the matched tree: an OR branch that
   doesn't match contributes 0; NOT-excluded branches contribute nothing;

@@ -4,14 +4,17 @@ Spark lifecycle (SURVEY.md §3.B): parse/plan on the driver → shard-pruned,
 term-pruned parquet scan of ``postings`` (predicate pushdown on the sorted
 ``term`` column) → per-shard applyInPandas match+score (shuffle-free: all of
 a doc's postings are in its shard) → global ``orderBy(score, doc_id).limit(k)``
-(TakeOrderedAndProject over ≤ shards×k pre-reduced rows) → broadcast join to
-``documents`` for display fields → snippet UDF over ≤ k rows.
+(TakeOrderedAndProject over ≤ shards×k pre-reduced rows) → point lookup into
+the doc store (column-pruned) for display fields → snippet UDF over ≤ k rows.
 
 Two physical strategies, picked per query shape:
 
 - FAST path (all phrases are plain single terms — the common case): global
-  dfs come from ``term_stats`` before the scan, so each shard scores locally
-  and emits only its top-k. Network cost: shards×k tiny rows.
+  dfs come from the postings table's own (term, df) metadata columns before
+  the scan (format 6: no separate term_stats table — the pruned dictionary
+  read hits the same sorted-term row groups the scoring scan does, and the
+  ≤ shards×terms per-shard rows sum driver-side), so each shard scores
+  locally and emits only its top-k. Network cost: shards×k tiny rows.
 - GENERAL path (phrase / prefix / NEAR / anchor): per-phrase global df is
   only known after matching, so shards emit matched rows (doc_id, dl,
   visible-tf vector) plus one df-sentinel row; dfs reduce to idfs, and
@@ -57,20 +60,22 @@ class SearchEngine:
         self._postings = spark.read.parquet(
             table_dir(index_dir, "postings", self.epoch)
         )
-        # The term dictionary is every query's first hop (df lookup + prefix
-        # expansion). Cache it cluster-memory-resident: ~24 B/term it is the
-        # one index structure a search engine always keeps hot (even at web
-        # scale a 10^9-term dictionary is ~10s of GB across 1000 executors);
-        # spills to disk rather than failing if memory is short.
-        self._term_stats = spark.read.parquet(
-            os.path.join(index_dir, "term_stats")
-        ).persist()
-        self._documents = spark.read.parquet(
-            table_dir(index_dir, "documents", self.epoch)
-        )
+        # The term dictionary is every query's first hop (df lookup). It is
+        # the postings table's own (term, df) metadata columns — format 6
+        # materializes no separate term_stats table — read pruned: term is
+        # the sort key within each postings file, so parquet row-group
+        # min/max stats prune In/StartsWith exactly like the scoring scan's
+        # predicate. At web scale this is the RIGHT shape too: each
+        # executor's dictionary rows live beside its shards (no global
+        # vocabulary table to build, ship, or refresh), and the driver sums
+        # the ≤ shards×terms returned rows.
+        self._dict = self._postings.select("term", "df")
         self._doc_text = spark.read.parquet(
             table_dir(index_dir, "doc_text", self.epoch)
         )
+        # the narrow doc catalog == column-pruned doc_text (text chunks are
+        # never read; same partition pruning the former table had)
+        self._documents = self._doc_text.drop("text")
         # Driver-side df cache. An engine is bound to one index snapshot
         # (Spark caches the parquet file listing at first action; a refresh
         # needs a new SearchEngine), so term→df results are immutable for
@@ -84,12 +89,12 @@ class SearchEngine:
     def _dfs_of(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
-            rows = (
-                self._term_stats.filter(F.col("term").isin(missing))
-                .select("term", "df")
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in rows}
+            # pruned dictionary scan: ≤ shards×segments rows per term come
+            # back; global df = their sum (one job, no shuffle — the groupBy
+            # happens driver-side over a few hundred ints)
+            found: dict[str, int] = {}
+            for r in self._dict.filter(F.col("term").isin(missing)).collect():
+                found[r["term"]] = found.get(r["term"], 0) + int(r["df"])
             for t in missing:
                 self._df_cache[t] = found.get(t, 0)
         return {t: self._df_cache[t] for t in terms}
@@ -172,7 +177,7 @@ class SearchEngine:
         # `doc_text` against a ≤200-row result is exactly the plan that dies
         # at 10^12 docs. The snippet path reads doc_text (which carries
         # base_name precisely so this stays one lookup); the no-snippet path
-        # reads the narrow documents table instead.
+        # reads the same store column-pruned (text chunks untouched).
         ids = [int(r["doc_id"]) for r in topk_rows]
         scores = [float(r["score"]) for r in topk_rows]
         shards = sorted({shard_of(i, self.n_shards) for i in ids})
@@ -345,7 +350,7 @@ class SearchEngine:
         Returns (query_id int, doc_id long, score double, rank int), rank
         1..k per query by (score asc = best BM25 first, doc_id asc) — the
         same per-query results as ``search`` (rank-identity tested), but all
-        driver-side planning collapses to one term_stats lookup and all
+        driver-side planning collapses to one dictionary lookup and all
         matching/scoring to one pass over postings. Per-query latency on
         Spark is dominated by job-scheduling fixed costs; batching is how a
         query workload actually runs at cluster scale. Empty queries yield
@@ -379,16 +384,7 @@ class SearchEngine:
         # idfs for the WAND-able queries). Prefixes never touch the driver:
         # they push startswith predicates into the scan and expand per shard
         # inside score_shard.
-        df_map = (
-            {
-                r["term"]: int(r["df"])
-                for r in self._term_stats.filter(
-                    F.col("term").isin(sorted(all_terms))
-                ).select("term", "df").collect()
-            }
-            if all_terms
-            else {}
-        )
+        df_map = self._dfs_of(sorted(all_terms)) if all_terms else {}
 
         cond = F.col("term").isin(sorted(all_terms)) if all_terms else F.lit(False)
         for pref in sorted(prefixes):

@@ -156,7 +156,7 @@ def test_reader_survives_compaction_epoch_gc(spark, oracle, refreshed):
 
     assert compact_index(spark, side)["compacted"] is True
     # grace: epoch-0 dirs (the unversioned base) still present post-GC
-    for tbl in ("postings", "doc_text", "documents"):
+    for tbl in ("postings", "doc_text"):
         assert os.path.exists(os.path.join(side, tbl)), tbl
         assert os.path.exists(os.path.join(side, f"{tbl}.v1")), tbl
     # the pinned reader still resolves complete files — identical answers,
@@ -182,7 +182,7 @@ def test_reader_survives_compaction_epoch_gc(spark, oracle, refreshed):
     assert refresh_index(spark, extra, side)["appended_docs"] == 5
     res2 = compact_index(spark, side)
     assert res2["compacted"] is True and res2["epoch"] == 2
-    for tbl in ("postings", "doc_text", "documents"):
+    for tbl in ("postings", "doc_text"):
         assert not os.path.exists(os.path.join(side, tbl)), tbl
         assert os.path.exists(os.path.join(side, f"{tbl}.v1")), tbl
         assert os.path.exists(os.path.join(side, f"{tbl}.v2")), tbl
@@ -245,7 +245,6 @@ def test_kill_during_compact_never_half_swaps(spark, oracle, refreshed):
     assert os.path.exists(table_dir(side, "postings", 1))
     assert os.path.exists(os.path.join(side, "postings"))
     assert os.path.exists(os.path.join(side, "doc_text"))
-    assert os.path.exists(os.path.join(side, "documents"))
     assert results() == before
     _sh.rmtree(side, ignore_errors=True)
 

@@ -65,10 +65,13 @@ def test_index_stats_consistent_with_term_stats(spark, index_dir):
 
     st = index_stats(spark, index_dir).collect()
     assert st and all(r["n_terms"] > 0 for r in st)
-    # totals must reconcile with the global term_stats table: per-shard
-    # postings partition the (term, doc) pairs, so sums of df/cf agree
+    # totals must reconcile with the postings-derived global dictionary
+    # (format 6: term_stats is a view over the postings metadata columns):
+    # per-shard postings partition the (term, doc) pairs, so sums agree
     ts = (
-        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
         .first()
     )

@@ -62,7 +62,7 @@ def test_stream_appended_all_docs(spark, streamed):
     assert st["n_docs"] == N_DOCS
     appended = sum(b["appended_docs"] for b in streamed)
     assert appended == N_DOCS - spark.read.parquet(
-        BASE + "/index/documents"
+        BASE + "/index/doc_text"
     ).filter(F.col("segment") == 0).count()
     assert st["n_segments"] >= 3  # seed + one per non-empty micro-batch
 
