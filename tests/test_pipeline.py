@@ -542,6 +542,107 @@ def test_decode_video_routing_and_fallback():
         assert first.shape == (8, 12) and abs(int(first[0, 0]) - 0) <= 1
 
 
+def _wav_pcm16_bytes(samples, rate=16000, nch=1) -> bytes:
+    """Stdlib RIFF/WAVE PCM16 writer (``wave`` module) — a REAL audio
+    container fixture without any audio library. ``samples``: int16 list
+    (interleaved when nch > 1)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_decode_audio_samples_stdlib_wav():
+    """The audio arm's REAL decode path works with zero third-party libs:
+    stdlib ``wave`` round-trips PCM16 exactly (int16/32768), mono-averages
+    stereo, and rejects non-audio types / undecodable bytes with
+    NotImplementedError (never a job-fatal error class)."""
+    import numpy as np
+    import pytest
+
+    from pdfsearch_spark.pipeline import multimodal as mm
+
+    ints = [0, 16384, -16384, 32767, -32768, 1]
+    wav = _wav_pcm16_bytes(ints, rate=22050)
+    s, rate = mm.decode_audio_samples(wav, "audio/wav")
+    assert rate == 22050
+    assert s.tolist() == [v / 32768.0 for v in ints]
+
+    # stereo: channel pairs mono-average in float, order preserved
+    st = _wav_pcm16_bytes([100, 300, -200, -400], rate=8000, nch=2)
+    s2, r2 = mm.decode_audio_samples(st, "audio/x-wav")
+    assert r2 == 8000
+    assert s2.tolist() == [200 / 32768.0, -300 / 32768.0]
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio_samples(wav, "application/octet-stream")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio_samples(b"RIFF not really a wav", "audio/wav")
+
+    if mm._audio_lib() is not None:
+        # optional lib present: sample-exact agreement with the stdlib
+        # path on PCM16 (both normalize int16 by 32768)
+        got, grate = mm.decode_audio_samples(wav, "audio/wav")
+        assert grate == 22050 and got.tolist() == s.tolist()
+
+
+def test_audio_features_fake_math_and_decode_routing(spark):
+    """audio_features: rows with a real WAV payload + audio/* type decode
+    for real (decoded=True, features from the sample stream); every other
+    row — octet-stream type, garbage behind an audio/* label — falls back
+    row-locally to the byte fake, whose features match the exact integer
+    definition the DuckDB oracle replays."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pdfsearch_spark.pipeline import multimodal as mm
+
+    wav = _wav_pcm16_bytes([0, 16384, -16384, 32767], rate=16000)
+    rows = [
+        (0, bytearray(wav), "audio/wav"),          # real decode
+        (1, bytearray(b"abcABC"), "application/octet-stream"),  # fake
+        (2, bytearray(b"junk"), "audio/wav"),      # bad bytes -> fake
+        (3, bytearray(b""), "application/octet-stream"),        # empty
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, media_type string"
+    )
+    got = {r["doc_id"]: r for r in mm.audio_features(df).collect()}
+
+    r0 = got[0]
+    assert r0["decoded"] is True and r0["sample_rate"] == 16000
+    s = np.array([0, 16384, -16384, 32767]) / 32768.0
+    assert abs(r0["rms"] - float(np.sqrt(np.mean(s * s)))) < 1e-12
+    assert abs(r0["peak"] - 32767 / 32768.0) < 1e-12
+    assert r0["n_samples"] == 4
+    # sign changes: 0->16384 (no: 0 is not negative), +->- , -> + = 2
+    assert abs(r0["zcr"] - 2 / 3) < 1e-12
+
+    for i, payload in ((1, b"abcABC"), (2, b"junk")):
+        r = got[i]
+        v = [b - 128 for b in payload]
+        n = len(v)
+        assert r["decoded"] is False and r["sample_rate"] == mm.FAKE_AUDIO_RATE
+        assert r["n_samples"] == n
+        assert r["rms"] == math.sqrt(sum(x * x for x in v) / n) / 128.0
+        assert r["peak"] == max(abs(x) for x in v) / 128.0
+        crossings = sum(1 for a, b in zip(v, v[1:]) if a * b < 0)
+        assert r["zcr"] == crossings / (n - 1)
+
+    r3 = got[3]
+    assert (r3["n_samples"], r3["rms"], r3["peak"], r3["zcr"]) == (0, 0.0, 0.0, 0.0)
+
+
 def test_frame_sample_decoded_fallback_matches_codegen(spark):
     """In a lib-less container frame_sample(decode=True) must be
     row-for-row identical to the codegen frame_sample; rows with video/*
