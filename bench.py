@@ -452,6 +452,8 @@ def main():
         return
     if "--scaling-rank-gate" in sys.argv:
         return scaling_rank_gate()
+    if "--sf1" in sys.argv:
+        return sf1_block()
     if "--scaling" in sys.argv:
         return scaling(sf, n_docs)
 
@@ -630,6 +632,58 @@ def _string_baseline(
         df.count()
         best = min(best, _t.time() - t0)
     return best
+
+
+def sf1_block():
+    """One official bench + rank-identity gate at sf1 — 200k docs, 10x the
+    per-round bench corpus (VERDICT r4 items 2 and 7): same harness, same
+    query set, k=200 gate vs the FTS5 oracle loaded with the just-built
+    index's own doc store. Emits one JSON line and regenerates
+    BENCH/SF1.md with the sf0.1-vs-sf1 sub-linearity comparison (query
+    latency, refresh, compact) and the phrase-vs-term latency ratio (the
+    positions stream must stay block-lazy as the corpus grows)."""
+    from pdfsearch_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    n_docs = 200_000
+    idx = INDEX_DIR + "_sf1"
+    t_all = time.time()
+    spark = get_spark("bench-sf1", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    try:
+        _warm(spark)
+        corpus_main = idx + "_corpus"
+        materialize_corpus(spark, n_docs, corpus_main)
+        build, times = run_build_and_search(
+            spark, n_docs, n_shards=max(32, 2 * CPUS), index_dir=idx,
+            corpus_path=corpus_main,
+        )
+        times.update(assert_rank_identity(spark, idx))
+        times.update(run_refresh_bench(spark, n_docs, idx))
+    finally:
+        spark.stop()
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.rmtree(idx + "_corpus", ignore_errors=True)
+    out = {
+        "metric": "sf1 index-build + BM25 top-10 latency + rank-identity(k=200)",
+        "value": round(time.time() - t_all, 3),
+        "unit": "sec",
+        "sf": 1.0,
+        "corpus_docs": n_docs,
+        "queries": {"index_build": round(build["elapsed_sec"], 3), **times},
+        "build_docs_per_sec": round(build["docs_per_sec"], 1),
+        "build_postings_per_sec": round(build["postings_per_sec"], 1),
+        "fts_mean_query_sec": round(
+            sum(v for k, v in times.items() if k.startswith("fts:"))
+            / len(FTS_QUERIES),
+            3,
+        ),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/sf1.json", "w") as f:
+        f.write(json.dumps(out) + "\n")
+    return out
 
 
 # Pre-registered measurement protocol for the round-5 scaling window,

@@ -256,8 +256,14 @@ class SearchEngine:
                     return empty()
             scores = bm25_scores(mvis, mdl, idfs, avgdl)
             if len(scores) > k:
-                part = np.argpartition(scores, k)[:k]
-                matched, scores = matched[part], scores[part]
+                # tie-deterministic truncation: argpartition alone keeps
+                # ARBITRARY members of a score plateau crossing the k
+                # boundary, making this path disagree with the batch path
+                # on boundary docs (tests/test_boundary_ties.py). Order by
+                # (score, doc_id) — the same total order as the global
+                # reduce — so every path picks identical tie members.
+                order = np.lexsort((matched, scores))[:k]
+                matched, scores = matched[order], scores[order]
             return pd.DataFrame({"doc_id": matched, "score": scores})
 
         return postings.groupBy("shard").applyInPandas(fn, schema="doc_id long, score double")
