@@ -34,7 +34,18 @@ scripts/dev_fuzz_queries.py and scripts/dev_fuzz_queries_batch.py):
            all four triaged per-doc (match sets identical, FTS5 credits
            less in every differing doc, 0 wrong-direction docs) — the
            documented FTS5-credits-less families; no new family
-  total: 39400 queries (39,200 batch-path + a 200-query per-query sweep
+  round 5: 5000 queries (seed 20260822, batch path, extended grammar —
+           arms 21-22 below: prefix on both NEAR operands, colsets over
+           prefix-bearing NEAR groups), 0 hard failures, 3 score-multiset
+           diffs, all three triaged per-doc (match sets identical, FTS5
+           credits less in every differing doc, 0 wrong-direction docs) —
+           the documented family-1 direction at dropped-whole-branch
+           magnitudes (max |d| 2.8); no new family. Separately, the new
+           snippet differential fuzz (scripts/dev_fuzz_snippets.py,
+           production snippet_plan path) byte-diffed 6,568 (query, doc, N)
+           snippet pairs across seeds 20260821/20260822 vs oracle
+           snippet(pages,2,...,16/60): 0 mismatches.
+  total: 44400 queries (44,200 batch-path + a 200-query per-query sweep
   with byte-exact snippet diffing, seed 20260901, 200/200 rank-identical),
   0 engine bugs; the 41 score-only diffs in the eleven
   final round-2 sweeps (seeds 20260818..20260828) were each verified
