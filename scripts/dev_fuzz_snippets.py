@@ -50,6 +50,40 @@ def main() -> None:
 
     n_pairs = n_queries_run = 0
     fails: list[str] = []
+    artifacts: list[str] = []
+
+    def _is_branch_drop_artifact(q, t, fs, fa, fi, nn, want) -> bool:
+        """The documented family-1 FTS5 iterator-state artifact propagates
+        into snippet(): the same parked phrase iterator that makes bm25()
+        drop an OR-branch contribution makes snippet() blind to that
+        phrase's instances, so FTS5 picks its best window over FEWER
+        phrases (verified on the first find: the identical (query, doc)
+        shows the scoring artifact too — oracle -2.095 vs engine -3.784,
+        drop = the missing phrase's standalone contribution). Classify a
+        mismatch as this artifact iff (a) the query has the family-1
+        trigger shape and (b) recomputing OUR snippet with some subset of
+        phrases' instances suppressed reproduces FTS5's string
+        byte-exactly (drop up to 2 of the visible phrases)."""
+        from itertools import combinations
+
+        from test_fuzz_queries import _family1_trigger
+
+        if not _family1_trigger(q):
+            return False
+        P = len(fs)
+        idxs = range(P)
+        for k_drop in (1, 2):
+            if k_drop >= P + 1:
+                break
+            for drop in combinations(idxs, min(k_drop, P)):
+                fs2 = [s for i, s in enumerate(fs) if i not in drop]
+                fa2 = [a for i, a in enumerate(fa) if i not in drop]
+                fi2 = [x for i, x in enumerate(fi) if i not in drop]
+                if not fs2:
+                    continue
+                if make_snippet(t, fs2, fa2, nn, per_phrase=fi2) == want:
+                    return True
+        return False
     for qi in range(N_QUERIES):
         rng = np.random.Generator(np.random.Philox(key=[SEED, qi]))
         q = _gen_query(rng, vocab)
@@ -75,10 +109,14 @@ def main() -> None:
                 got = make_snippet(t, fs, fa, nn, per_phrase=fi)
                 n_pairs += 1
                 if got != want:
-                    fails.append(
+                    msg = (
                         f"q={q!r} doc={r.doc_id} N={nn}:\n"
                         f"    ours: {got!r}\n    fts5: {want!r}"
                     )
+                    if _is_branch_drop_artifact(q, t, fs, fa, fi, nn, want):
+                        artifacts.append(msg)
+                    else:
+                        fails.append(msg)
         if (qi + 1) % 100 == 0:
             print(
                 f"[{qi + 1}/{N_QUERIES}] queries_run={n_queries_run} "
@@ -88,8 +126,12 @@ def main() -> None:
 
     print(
         f"\n{n_pairs} (query, doc, N) snippet diffs over {n_queries_run} "
-        f"result-bearing queries (seed {SEED}): {len(fails)} mismatches"
+        f"result-bearing queries (seed {SEED}): {len(fails)} mismatches, "
+        f"{len(artifacts)} branch-drop artifacts (FTS5 iterator-state; the "
+        f"scoring side of the same (query, doc) shows the family-1 diff)"
     )
+    for a in artifacts[:5]:
+        print("[artifact]", a)
     for f in fails[:20]:
         print(f)
     sys.exit(1 if fails else 0)

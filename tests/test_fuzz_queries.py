@@ -42,9 +42,17 @@ scripts/dev_fuzz_queries.py and scripts/dev_fuzz_queries_batch.py):
            the documented family-1 direction at dropped-whole-branch
            magnitudes (max |d| 2.8); no new family. Separately, the new
            snippet differential fuzz (scripts/dev_fuzz_snippets.py,
-           production snippet_plan path) byte-diffed 6,568 (query, doc, N)
-           snippet pairs across seeds 20260821/20260822 vs oracle
-           snippet(pages,2,...,16/60): 0 mismatches.
+           production snippet_plan path) byte-diffed 12,984 (query, doc,
+           N) snippet pairs across seeds 20260821/20260822/20260823 vs
+           oracle snippet(pages,2,...,16/60): 0 engine mismatches and ONE
+           FTS5-side artifact that CROSS-VERIFIES family 1 on a second
+           FTS5 surface — on the same (query, doc) where bm25() drops an
+           OR-branch contribution (oracle -2.095 vs engine -3.784,
+           triaged wrong-direction-0), snippet() is blind to that
+           phrase's instances and picks its best window over fewer
+           phrases; suppressing exactly that phrase reproduces FTS5's
+           snippet byte-identically (the fuzzer's subset-drop
+           classifier).
   total: 44400 queries (44,200 batch-path + a 200-query per-query sweep
   with byte-exact snippet diffing, seed 20260901, 200/200 rank-identical),
   0 engine bugs; the 41 score-only diffs in the eleven
