@@ -227,3 +227,67 @@ def test_dead_not_parked_iterator_engine_spec_consistent(spark):
             assert abs((o[d] - bogus_credit[d]) - e[d]) < 1e-9
         else:
             assert abs(o[d] - e[d]) < 1e-9
+
+
+def test_family1_propagates_to_snippet_surface_pinned():
+    """Cross-surface pin of family 1 (found by the r5 snippet fuzz, seed
+    20260823): on a (query, doc) where FTS5's bm25() drops an OR-branch
+    contribution, its snippet() is blind to that phrase's instances too —
+    the two APIs read the same parked phrase iterator. Pinned driver-side
+    (oracle + production snippet path, no Spark): FTS5's snippet string
+    equals OUR snippet with exactly the dropped phrase suppressed, and
+    differs from the full spec-consistent visibility; the scoring side of
+    the same row shows the family-1 credits-less direction. If SQLite
+    ever changes either surface, both assertions fire together."""
+    from pdfsearch_spark import corpus
+    from pdfsearch_spark.analyzer import tokenize, unicode61_tokens
+    from pdfsearch_spark.fnv import fnv1_64_signed
+    from pdfsearch_spark.query.parser import parse_query
+    from pdfsearch_spark.query.snippet import (
+        make_snippet,
+        phrase_slot_table,
+        snippet_plan,
+    )
+
+    q = "(-text:muduji OR nules) AND kaing OR NEAR(jaed ceed, 1) NOT rued"
+    doc_id = -2273729665401199605
+
+    pdf = corpus.gen_pandas(300)  # the fuzz corpus (iterator state is
+    pdf["text"] = [extract_text(h) for h in pdf["html"]]  # corpus-dependent)
+    oracle = FTS5Oracle()
+    oracle.load(pdf)
+    text = {
+        fnv1_64_signed(u): t for u, t in zip(pdf["url"], pdf["text"])
+    }[doc_id]
+
+    row = next(r for r in oracle.search(q, k=200) if r.doc_id == doc_id)
+
+    tree, phrases = parse_query(q, tokenize, unicode61_tokens)
+    slots_list, anchored = phrase_slot_table(phrases, {})
+    fs, fa, fi = snippet_plan(tree, slots_list, anchored, text)
+
+    ours = make_snippet(text, fs, fa, 60, per_phrase=fi)
+    assert ours != row.text, "SQLite now agrees — artifact gone; re-triage"
+
+    # identify the dropped phrase: nules (the OR branch FTS5 parks);
+    # slots hold STEMMED terms, so match on the stem prefix
+    drop = next(
+        i
+        for i, s in enumerate(fs)
+        if any(t.startswith("nule") for slot in s for t in slot)
+    )
+    fs2 = [s for i, s in enumerate(fs) if i != drop]
+    fa2 = [a for i, a in enumerate(fa) if i != drop]
+    fi2 = [x for i, x in enumerate(fi) if i != drop]
+    assert make_snippet(text, fs2, fa2, 60, per_phrase=fi2) == row.text
+
+    # scoring surface, same row: nules matches this doc standalone, so the
+    # spec-consistent sum includes its contribution; FTS5's full-query
+    # score sits ABOVE (less relevant than) that sum — the family-1
+    # credits-less direction (the engine-side value was triaged in the r5
+    # sweep: oracle -2.095 vs engine -3.784, wrong-direction docs = 0)
+    nules_only = {
+        r.doc_id: r.score for r in oracle.search("nules", k=200)
+    }
+    assert doc_id in nules_only, "nules matches this doc standalone"
+    assert row.score > row.score + nules_only[doc_id]  # scores negative
